@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The sandbox runs local[N] on one 32-core/128GiB host; the design point is a
+multi-executor cluster reading ~10^12 turns. Every config below is chosen to
+be correct at both scales (AQE re-plans partition counts at runtime, so the
+static shuffle-partition number is a ceiling, not a schedule).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "transcriptpipe",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Notes on individual settings:
+
+    * AQE on + coalescePartitions + skewJoin: runtime re-planning is the
+      first line of defense against skew/small-partition waste at 100TB.
+    * ``spark.sql.session.timeZone=UTC``: the reference formats event time in
+      localtime (/root/reference/lib/conv_buf.c:400); we standardize on UTC
+      (documented divergence, SURVEY.md §7.3.5) and it makes the DuckDB
+      oracle comparison exact.
+    * Arrow enabled: all pandas UDFs are vectorized Arrow transfers.
+    * ``mapKeyDedupPolicy=LAST_WIN``: kv-parse builds maps from regexp token
+      streams; a malformed row must not kill the stage (errors are routed,
+      never thrown — SURVEY.md §2.9 "backpressure/errors").
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

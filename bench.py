@@ -1,0 +1,105 @@
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: transcript turns/sec (the north_rule throughput metric) and the
+per-query timings. Materialization uses the noop sink so timings measure
+compute, not driver collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "100000"))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/transcriptpipe_bench")
+
+
+def _bench_transcripts_path() -> str:
+    """Deterministic bench-scale transcript table, cached as parquet."""
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"transcripts_{BENCH_CONVS}_s42.parquet")
+    if not os.path.exists(path):
+        from transcriptpipe import synth
+
+        synth.write_transcripts(path, n_convs=BENCH_CONVS, seed=42,
+                                hot_frac=0.001, hot_turns=2000)
+    return path
+
+
+def noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from transcriptpipe import pipeline
+    from transcriptpipe.session import get_spark
+
+    import __spark_entry__ as entry
+
+    tpath = _bench_transcripts_path()  # generate before starting the clock
+
+    spark = get_spark(app_name="transcriptpipe-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # --- warmup: compile the pipeline's generated code on a tiny frame so
+    # the timed runs measure steady-state compute, not JIT/codegen cold start
+    from transcriptpipe import schemas, synth
+
+    warm = spark.createDataFrame(
+        synth.gen_transcripts(n_convs=200, seed=1), schema=schemas.TRANSCRIPTS
+    )
+    wsinks = pipeline.build(spark, warm, pipeline.PipeConf(persist=False))
+    noop_write(wsinks["json_doc"])
+    noop_write(wsinks["error"])
+
+    # --- headline: the transcript pipeline itself (north_rule metric)
+    tdf = spark.read.parquet(tpath)
+    n_turns = tdf.count()
+    t0 = time.monotonic()
+    sinks = pipeline.build(spark, tdf)
+    noop_write(sinks["json_doc"])
+    noop_write(sinks["error"])
+    pipe_sec = time.monotonic() - t0
+    timings["transcript_pipeline"] = round(pipe_sec, 3)
+    turns_per_sec = n_turns / pipe_sec
+
+    # --- headline relational + training-data queries from the contract
+    qs = entry.queries()
+    for name in [
+        "ev_coalesce", "ev_sessionize", "ev_route_counts",
+        "tpch_q1", "tpch_q3", "tpch_q5",
+        "doc_dedup_exact", "doc_minhash_lsh", "doc_simhash",
+        "emb_ann_cosine",
+    ]:
+        t0 = time.monotonic()
+        noop_write(qs[name](spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "parse->route->aggregate wall time (headline suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "transcript_turns": n_turns,
+        "transcript_turns_per_sec": round(turns_per_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

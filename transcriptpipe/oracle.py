@@ -107,7 +107,8 @@ def reassemble_args(turns: list[ParsedTurn]):
     for t in turns:
         if t.role != "tool_call":
             continue
-        for k, v in zip(t.keys, t.vals):
+        # per-turn LAST_WIN dedup matches the parse stage's map semantics
+        for k, v in dict(zip(t.keys, t.vals)).items():
             if k == "argc":
                 argc_vals.append(try_int(v))
                 seen_any = True

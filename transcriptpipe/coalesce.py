@@ -68,6 +68,9 @@ def coalesce_events(parsed: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(turn), _cmp_by("turn_idx")).alias("turns"),
         F.min("ts").alias("min_ts"),
         F.count("*").cast("int").alias("n_turns"),
+        # strict lower bounds on rendered sizes (see render.py trim skip)
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.sum("vals_bytes").alias("fields_bytes"),
     )
 
 
@@ -253,6 +256,17 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
         F.when(F.size(tools) > 0, tools).alias("tools"),
     )
 
+    # per-row errors for the error sink, carried on the doc row so the sink
+    # fan-out never re-parses the input (one pass, persist docs only)
+    row_errs = F.transform(
+        F.filter(turns, lambda t: t["row_error"].isNotNull()),
+        lambda t: F.struct(
+            t["turn_idx"].alias("turn_idx"),
+            t["row_error"].alias("error_code"),
+            t["text"].alias("text"),
+        ),
+    )
+
     return coalesced.select(
         "conv_id",
         F.regexp_extract("conv_id", r"(\d+)$", 1).try_cast("long").alias("serial"),
@@ -262,4 +276,7 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
         # P6 error demotion (conv_buf.c:627-648): on error void data, keep text
         F.when(error.isNull(), data).alias("data"),
         error.alias("error"),
+        row_errs.alias("row_errs"),
+        "text_bytes",
+        "fields_bytes",
     )

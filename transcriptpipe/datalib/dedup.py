@@ -1,0 +1,241 @@
+"""Deduplication operators for document corpora.
+
+Scale design notes (100 TB / 10^10 docs):
+
+* exact: one shuffle on the content hash; map-side partial agg makes the
+  shuffle carry ~one row per distinct hash.
+* minhash_lsh: cost is (docs x bands) shuffle rows, each tiny (doc_id + 16
+  bytes) — candidate pairs are generated per bucket, never a global cross
+  join. Band/row tuning trades recall for bucket size; a hot bucket (boiler-
+  plate docs) is capped to bound the pair explosion.
+* simhash: narrow per-doc signature + one shuffle on the signature (or on
+  rotated signatures for hamming-distance probing).
+* embedding near-dup: random-hyperplane LSH buckets, pairs within buckets
+  only; brute force exists as the verification baseline at small SF.
+
+All hash families are seeded/deterministic (md5 / fixed RNG), so results are
+reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# ------------------------------------------------------------------ exact --
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+                ) -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group."""
+    return (
+        df.withColumn("_h", F.md5(F.col(text_col)))
+        .withColumn("_rep", F.min(id_col).over(Window.partitionBy("_h")))
+        .filter(F.col(id_col) == F.col("_rep"))
+        .drop("_h", "_rep")
+    )
+
+
+def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate-group size histogram (the oracle-checked shape)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.count("*").alias("group_size"))
+        .groupBy("group_size")
+        .agg(F.count("*").alias("n_groups"))
+    )
+
+
+# ---------------------------------------------------------------- minhash --
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if < n words)."""
+    w = F.split(F.col(text_col), " ")
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        ),
+    ).otherwise(F.expr("array()"))
+
+
+def minhash_signature(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 8) -> DataFrame:
+    """k md5-salted minhashes per doc. One explode + one groupBy; the
+    shuffle rows are (doc_id, shingle) pairs — partial-agg combines the mins
+    map-side so the exchange carries one row per (doc, partition)."""
+    sh = df.select(
+        id_col, F.explode(shingles(text_col)).alias("sh")
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("sh")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 8, bands: int = 4,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    bands of size k/bands; a pair is a candidate if any band collides.
+    ``max_bucket`` caps pathological buckets (boilerplate) to bound the
+    within-bucket pair explosion at scale — capped buckets are dropped and
+    should be handled by an exact pass on their members.
+    """
+    rows = k // bands
+    sig = minhash_signature(df, id_col, text_col, k)
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])).alias("band")
+        for b in range(bands)
+    ]
+    parts = [
+        sig.select(F.col(id_col), F.lit(b).alias("band_id"), band_cols[b])
+        for b in range(bands)
+    ]
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    grouped = banded.groupBy("band_id", "band").agg(
+        F.collect_list(id_col).alias("ids")
+    ).filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    a = F.explode("ids").alias("a_id")
+    pairs = grouped.select("band_id", "ids", a).select(
+        "band_id", F.col("a_id"), F.explode("ids").alias("b_id")
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return pairs.select("a_id", "b_id").dropDuplicates()
+
+
+# ---------------------------------------------------------------- simhash --
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """Per-doc simhash from md5-derived token bits (explode + one groupBy,
+    map-side combinable sums)."""
+    tok = df.select(id_col, F.explode(F.split(text_col, " ")).alias("tok"))
+    h = F.md5("tok")
+    sums = tok.groupBy(id_col).agg(
+        *[
+            F.sum(2 * (F.ascii(F.substring(h, b + 1, 1)) % 2) - 1).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    sim = sums.select(
+        id_col,
+        sum(
+            (F.when(F.col(f"s{b}") > 0, 1).otherwise(0) * (1 << b))
+            for b in range(bits)
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Docs sharing a simhash value = near-dup candidates (hamming-0)."""
+    return (
+        simhash(df, id_col, text_col, bits)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.collect_list(id_col).alias("ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --------------------------------------------------------- ngram jaccard --
+
+def jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.8) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs. Brute force (self-join)
+    — correct at small SF; at scale feed it minhash_lsh_pairs candidates
+    instead of the full cross product (see verified_near_dups)."""
+    t = df.select(
+        F.col(id_col), F.array_distinct(F.split(text_col, " ")).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    jac = (
+        F.size(F.array_intersect("a.toks", "b.toks")).cast("double")
+        / F.size(F.array_union("a.toks", "b.toks"))
+    )
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.round(jac, 3).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", threshold: float = 0.8,
+                       k: int = 8, bands: int = 4) -> DataFrame:
+    """The scale path: LSH candidates -> exact Jaccard verification.
+    Join cost is |candidates|, not |docs|^2."""
+    cands = minhash_lsh_pairs(df, id_col, text_col, k, bands)
+    t = df.select(
+        F.col(id_col), F.array_distinct(F.split(text_col, " ")).alias("toks")
+    )
+    a = t.withColumnRenamed(id_col, "a_id").withColumnRenamed("toks", "a_toks")
+    b = t.withColumnRenamed(id_col, "b_id").withColumnRenamed("toks", "b_toks")
+    jac = (
+        F.size(F.array_intersect("a_toks", "b_toks")).cast("double")
+        / F.size(F.array_union("a_toks", "b_toks"))
+    )
+    return (
+        cands.join(a, "a_id").join(b, "b_id")
+        .select("a_id", "b_id", F.round(jac, 3).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ------------------------------------------------- embedding cosine dedup --
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        threshold: float = 0.95, planes: int = 8,
+                        seed: int = 42) -> DataFrame:
+    """Near-duplicate vectors: random-hyperplane LSH bucket, then exact
+    cosine within buckets. Deterministic planes from a seeded RNG."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hp = rng.standard_normal((planes, dim)).tolist()
+
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    sig = sum(
+        (
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(float(c)) for c in hp[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+            * (1 << p)
+        )
+        for p in range(planes)
+    )
+    e = df.select(F.col(id_col), v.alias("v"), sig.alias("bucket"))
+    a = e.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "bucket")
+    b = e.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "bucket")
+    dot = F.aggregate(F.zip_with("av", "bv", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate("av", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("bv", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(dot / (na * nb), 4).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

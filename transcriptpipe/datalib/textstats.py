@@ -1,0 +1,127 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All JVM-side column expressions — these run in the 100 TB
+scan loop, so no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram/stopword profiles for the language-ID heuristic. Real corpora would
+# ship fuller profiles; the mechanism (score = fraction of profile hits,
+# argmax across languages) is the standard n-gram LangID shape.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une"],
+    "es": ["el", "la", "de", "que", "los", "es", "un", "una"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+# BPE-ish token estimate: words plus punctuation/digit runs split out.
+BPE_ISH_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(text)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """Sub-word-ish token count via regexp tokenization (letters runs,
+    digit runs, single punctuation) — a cheap proxy for BPE token counts."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
+
+
+def lang_scores(text: Column) -> Column:
+    """Map<lang, score>: fraction of tokens hitting each language profile."""
+    toks = F.split(F.lower(text), r"\s+")
+    n = F.greatest(F.size(toks), F.lit(1))
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            (
+                F.size(F.filter(toks, lambda t: t.isin(prof))).cast("double") / n
+            ).alias("score"),
+        )
+        for lang, prof in LANG_PROFILES.items()
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language; 'und' (undetermined) when no profile hits."""
+    toks = F.split(F.lower(text), r"\s+")
+    n = F.greatest(F.size(toks), F.lit(1))
+    scored = F.array(*[
+        F.struct(
+            (F.size(F.filter(toks, lambda t: t.isin(prof))).cast("double") / n).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, prof in LANG_PROFILES.items()
+    ])
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(text: Column) -> Column:
+    """Struct of the standard quality-filter features (length, punctuation
+    ratio, stopword ratio, mean word length, uppercase ratio)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_char = F.greatest(F.length(text), F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN)))
+    return F.struct(
+        F.length(text).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.round(punct.cast("double") / n_char, 4).alias("punct_ratio"),
+        F.round(upper.cast("double") / n_char, 4).alias("upper_ratio"),
+        F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.round(F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_tok, 2)
+        .alias("mean_word_len"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Scalar [0,1] quality score from the features — a monotone blend of
+    'looks like prose' signals, for threshold filtering."""
+    f = quality_features(text)
+    length_ok = F.least(f["n_tokens"].cast("double") / 20.0, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))
+    word_ok = F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), 1.0).otherwise(0.5)
+    return F.round((length_ok + punct_ok + word_ok) / 3.0, 4)
+
+
+def fingerprint(text: Column, prefix: int = 64) -> Column:
+    """Content fingerprint: hash of normalized prefix + exact length — cheap
+    first-pass identity for dedup cascades."""
+    norm = F.lower(F.regexp_replace(text, r"\s+", " "))
+    return F.md5(F.concat(F.substring(norm, 1, prefix), F.length(norm).cast("string")))
+
+
+def rolling_fingerprints(text: Column, window: int = 32, stride: int = 16) -> Column:
+    """Array of window fingerprints (rolling-hash analog) for partial-overlap
+    detection; expression-only, bounded by text length / stride."""
+    n = F.length(text)
+    starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(stride))
+    return F.transform(starts, lambda s: F.md5(F.substring(text, s, window)))
+
+
+def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass narrow enrichment with all text-analysis columns."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        lang_id(t).alias("lang_pred"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe"),
+        quality_features(t).alias("quality"),
+        quality_score(t).alias("quality_score"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -66,6 +66,14 @@ def parse_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     kv = F.map_from_arrays("keys", "vals")
     df = df.withColumn("item_idx", F.element_at(kv, "item").try_cast("int"))
 
+    # strict lower bound on this turn's contribution to the rendered data
+    # section (field values appear verbatim in the JSON; escaping only adds
+    # bytes) — lets render.py skip rendering oversized docs entirely
+    df = df.withColumn(
+        "vals_bytes",
+        F.aggregate("vals", F.lit(0), lambda acc, v: acc + F.octet_length(v)),
+    )
+
     parse_fail = (F.size("keys") == 0) & (F.length(F.trim(text)) > 0)
     bad_hex = F.map_contains_key(kv, "hex") & _decode_hex(F.element_at(kv, "hex")).isNull()
     df = df.withColumn(

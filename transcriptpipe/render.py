@@ -62,12 +62,23 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
         doc, trimmed = full, pre_trimmed
     else:
         cap = F.lit(max_doc_bytes)
+        # strict lower bounds computed upstream (raw text / field-value bytes
+        # can only inflate under JSON syntax+escaping), so an oversized doc is
+        # detected WITHOUT rendering it — inverting aushape's format-then-cut
+        # (notes.txt:242-246), which would make a megabyte conversation a
+        # straggler: est > cap ⟹ rendered > cap, skip that render entirely.
+        # errored docs carry no data section (P6), so field bytes don't count
+        est_data = F.when(
+            F.col("error").isNull(), F.coalesce(F.col("fields_bytes"), F.lit(0))
+        ).otherwise(F.lit(0))
+        est_full = F.coalesce(F.col("text_bytes"), F.lit(0)) + est_data
+        full_fits = (est_full <= cap) & (F.octet_length(full) <= cap)
         doc = (
-            F.when(F.octet_length(full) <= cap, full)
-            .when(F.octet_length(no_text) <= cap, no_text)
+            F.when(full_fits, full)
+            .when((est_data <= cap) & (F.octet_length(no_text) <= cap), no_text)
             .otherwise(envelope)
         )
-        trimmed = (F.octet_length(full) > cap) | pre_trimmed
+        trimmed = ~full_fits | pre_trimmed
     return df.select(
         "conv_id",
         F.floor(F.col("serial") / events_per_doc).alias("doc_id"),
@@ -90,56 +101,57 @@ def xml_escape_str(s: str) -> str:
     return s.translate(_XML_ESCAPES)
 
 
+def _fields_xml(fields: dict) -> str:
+    out = []
+    for k, v in fields.items():
+        vals = "".join(f"<v>{xml_escape_str(x)}</v>" for x in v)
+        out.append(f'<f name="{xml_escape_str(k)}">{vals}</f>')
+    return "".join(out)
+
+
+def xml_from_doc(e: dict) -> str:
+    """Event doc object -> XML string. Element layout mirrors
+    lib/aushape.xsd: <event serial time [error] [trimmed]>
+    <text><line/>*</text> <data><role>...</role>*</data> </event>."""
+    attrs = f' serial="{e["serial"]}" time="{e["time"]}"'
+    if e.get("error"):
+        attrs += f' error="{xml_escape_str(e["error"])}"'
+    if e.get("trimmed"):
+        attrs += ' trimmed="true"'
+    parts = [f"<event{attrs}>"]
+    if "text" in e and e["text"] is not None:
+        parts.append(
+            "<text>"
+            + "".join(f"<line>{xml_escape_str(t) if t is not None else ''}</line>" for t in e["text"])
+            + "</text>"
+        )
+    data = e.get("data")
+    if data is not None:
+        parts.append("<data>")
+        if data.get("system") is not None:
+            parts.append(f"<system>{_fields_xml(data['system'])}</system>")
+        for role in ("user", "assistant", "tool_call", "tool_result"):
+            for item in data.get(role) or []:
+                parts.append(f"<{role}>{_fields_xml(item)}</{role}>")
+        if data.get("args") is not None:
+            parts.append(
+                "<args>" + "".join(f"<a>{xml_escape_str(a)}</a>" for a in data["args"]) + "</args>"
+            )
+        if data.get("tools") is not None:
+            parts.append(
+                "<tools>" + "".join(f"<t>{xml_escape_str(t)}</t>" for t in data["tools"]) + "</tools>"
+            )
+        parts.append("</data>")
+    parts.append("</event>")
+    return "".join(parts)
+
+
 @pandas_udf(T.StringType())
 def _json_to_xml(doc_json: pd.Series) -> pd.Series:
-    """Render the event JSON into the XML representation.
-
-    One Arrow batch in, one out. Element layout mirrors lib/aushape.xsd:
-    <event serial time [error] [trimmed]> <text><line/>*</text>
-    <data><role>...</role>*</data> </event>.
-    """
+    """Render the event JSON into the XML representation (Arrow batches)."""
     import json
 
-    def fields_xml(fields: dict) -> str:
-        out = []
-        for k, v in fields.items():
-            vals = "".join(f"<v>{xml_escape_str(x)}</v>" for x in v)
-            out.append(f'<f name="{xml_escape_str(k)}">{vals}</f>')
-        return "".join(out)
-
-    def render(j: str) -> str:
-        e = json.loads(j)
-        attrs = f' serial="{e["serial"]}" time="{e["time"]}"'
-        if e.get("error"):
-            attrs += f' error="{xml_escape_str(e["error"])}"'
-        if e.get("trimmed"):
-            attrs += ' trimmed="true"'
-        parts = [f"<event{attrs}>"]
-        if "text" in e and e["text"] is not None:
-            parts.append(
-                "<text>" + "".join(f"<line>{xml_escape_str(t)}</line>" for t in e["text"]) + "</text>"
-            )
-        data = e.get("data")
-        if data is not None:
-            parts.append("<data>")
-            if data.get("system") is not None:
-                parts.append(f"<system>{fields_xml(data['system'])}</system>")
-            for role in ("user", "assistant", "tool_call", "tool_result"):
-                for item in data.get(role) or []:
-                    parts.append(f"<{role}>{fields_xml(item)}</{role}>")
-            if data.get("args") is not None:
-                parts.append(
-                    "<args>" + "".join(f"<a>{xml_escape_str(a)}</a>" for a in data["args"]) + "</args>"
-                )
-            if data.get("tools") is not None:
-                parts.append(
-                    "<tools>" + "".join(f"<t>{xml_escape_str(t)}</t>" for t in data["tools"]) + "</tools>"
-                )
-            parts.append("</data>")
-        parts.append("</event>")
-        return "".join(parts)
-
-    return doc_json.map(render)
+    return doc_json.map(lambda j: xml_from_doc(json.loads(j)))
 
 
 def render_xml(json_docs: DataFrame) -> DataFrame:

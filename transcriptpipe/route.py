@@ -30,14 +30,15 @@ CONV_LEVEL_CODES = [
 ]
 
 
-def error_sink(parsed: DataFrame, docs: DataFrame) -> DataFrame:
-    """Row-level errors + conversation-level validation errors."""
-    row_errs = parsed.filter(F.col("row_error").isNotNull()).select(
-        "conv_id",
-        "turn_idx",
-        F.col("row_error").alias("error_code"),
-        "text",
-    )
+def error_sink(docs: DataFrame) -> DataFrame:
+    """Row-level errors + conversation-level validation errors.
+
+    Both come off the assembled docs frame (row errors travel on the doc row
+    as ``row_errs``), so the error sink costs one narrow pass over docs —
+    the input is never re-scanned or re-parsed for routing."""
+    row_errs = docs.select(
+        "conv_id", F.explode("row_errs").alias("e")
+    ).select("conv_id", "e.turn_idx", "e.error_code", "e.text")
     conv_errs = docs.filter(F.col("error").isin(CONV_LEVEL_CODES)).select(
         "conv_id",
         F.lit(None).cast("int").alias("turn_idx"),

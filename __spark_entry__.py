@@ -558,9 +558,74 @@ FROM documents GROUP BY source
 """
 
 
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature aggregation (datalib.textstats shape): punctuation /
+    uppercase ratios and mean token length per source."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_char = F.greatest(F.length("text"), F.lit(1))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    return (
+        d.select(
+            "source",
+            F.size(toks).alias("n_tok"),
+            F.round(punct.cast("double") / n_char, 4).alias("punct_ratio"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.sum("punct_ratio"), 3).alias("punct_ratio_sum"),
+        )
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT source, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       round(sum(round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4)), 3) AS punct_ratio_sum
+FROM documents GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings-table queries — similarity search
 # --------------------------------------------------------------------------
+
+def _hyperplane_sql(planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    from transcriptpipe.datalib.similarity import hyperplanes
+
+    hp = hyperplanes(dim, planes, seed)
+    terms = []
+    for p in range(planes):
+        arr = "[" + ", ".join(repr(float(c)) for c in hp[p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ve[i] * ({arr})[i])) > 0 THEN 1 ELSE 0 END) * {1 << p}"
+        )
+    return " + ".join(terms)
+
+
+def q_emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN scale path's index)."""
+    from transcriptpipe.datalib.similarity import bucket_of, hyperplanes
+
+    e = _t(spark, sf_dir, "embeddings")
+    hp = hyperplanes(64, 4, 42)
+    return (
+        e.select(bucket_of(F.col("embedding"), hp).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def _sql_emb_lsh_buckets() -> str:
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS ve FROM embeddings)
+SELECT {_hyperplane_sql(4, 64, 42)} AS bucket, count(*) AS n_vecs
+FROM e GROUP BY 1
+"""
 
 def q_emb_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a fixed query vector (vec_id=0).
@@ -709,8 +774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
         "doc_textstats": q_doc_textstats,
+        "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "emb_ann_cosine": q_emb_ann_cosine,
+        "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_norm_stats": q_emb_norm_stats,
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
@@ -738,8 +805,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_textstats": SQL_DOC_TEXTSTATS,
+        "doc_quality": SQL_DOC_QUALITY,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
+        "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         # transcript_docs / transcript_errors / transcript_xml: rows-only
         # (verified against the single-process oracle in tests/)

@@ -68,9 +68,13 @@ def main() -> None:
     # --- headline: the transcript pipeline itself (north_rule metric)
     tdf = spark.read.parquet(tpath)
     n_turns = tdf.count()
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="tp_stage_")
     t0 = time.monotonic()
-    sinks = pipeline.build(spark, tdf)
+    sinks = pipeline.build(spark, tdf, pipeline.PipeConf(stage_dir=stage))
     noop_write(sinks["json_doc"])
+    noop_write(sinks["xml_doc"])
     noop_write(sinks["error"])
     pipe_sec = time.monotonic() - t0
     timings["transcript_pipeline"] = round(pipe_sec, 3)

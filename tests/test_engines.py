@@ -19,19 +19,20 @@ def _collect(spark, df, conf):
     return jd, xml, err
 
 
-def test_arrow_and_expr_engines_agree(spark, tiny_df):
+def test_all_engines_agree(spark, tiny_df):
     for max_bytes in (None, 600):
         a_jd, a_xml, a_err = _collect(
             spark, tiny_df, pipeline.PipeConf(engine="arrow", max_doc_bytes=max_bytes)
         )
-        e_jd, e_xml, e_err = _collect(
-            spark, tiny_df, pipeline.PipeConf(engine="expr", max_doc_bytes=max_bytes)
-        )
-        assert set(a_jd) == set(e_jd)
-        for cid in a_jd:
-            for k in ("doc_id", "serial", "time", "n_turns", "trimmed", "error"):
-                assert a_jd[cid][k] == e_jd[cid][k], (cid, k, max_bytes)
-            assert json.loads(a_jd[cid]["doc"]) == json.loads(e_jd[cid]["doc"]), cid
-            assert a_jd[cid]["doc"] == e_jd[cid]["doc"], (cid, max_bytes)
-            assert a_xml[cid] == e_xml[cid], (cid, max_bytes)
-        assert a_err == e_err
+        for other in ("arrow_agg", "expr"):
+            e_jd, e_xml, e_err = _collect(
+                spark, tiny_df, pipeline.PipeConf(engine=other, max_doc_bytes=max_bytes)
+            )
+            assert set(a_jd) == set(e_jd)
+            for cid in a_jd:
+                for k in ("doc_id", "serial", "time", "n_turns", "trimmed", "error"):
+                    assert a_jd[cid][k] == e_jd[cid][k], (cid, k, max_bytes, other)
+                assert json.loads(a_jd[cid]["doc"]) == json.loads(e_jd[cid]["doc"]), cid
+                assert a_jd[cid]["doc"] == e_jd[cid]["doc"], (cid, max_bytes, other)
+                assert a_xml[cid] == e_xml[cid], (cid, max_bytes, other)
+            assert a_err == e_err, other

@@ -1,0 +1,89 @@
+"""Dump physical plans for the pipeline and headline queries -> PLANS.md.
+
+Checks the plan properties that matter at 100 TB and fails loudly if they
+regress:
+
+* parquet scans carry PushedFilters / a pruned ReadSchema (no full-width scan
+  for narrow projections)
+* dictionary joins are BroadcastHashJoin (never shuffle the fact table)
+* exactly ONE Exchange in the coalesce pipeline (the conv_id shuffle; the
+  tiny cap-stats pre-aggregate is allowed its own)
+* whole-stage codegen spans cover the narrow stages
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from transcriptpipe import pipeline, synth, schemas  # noqa: E402
+from transcriptpipe.session import get_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="explain", cpus=4, shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    out = ["# PLANS — physical plans for the headline operators\n"]
+    checks: list[tuple[str, bool, str]] = []
+
+    # --- transcript pipeline
+    tdf = spark.createDataFrame(
+        synth.gen_transcripts(n_convs=100), schema=schemas.TRANSCRIPTS
+    )
+    jd = pipeline.build(spark, tdf, pipeline.PipeConf(persist=False))["json_doc"]
+    p = plan_of(jd)
+    out.append("## transcript pipeline -> json_doc\n```\n" + p + "\n```\n")
+    n_exch = p.count("Exchange")
+    checks.append(("pipeline shuffles bounded (conv shuffle + cap-stats + join)",
+                   n_exch <= 4, f"Exchange count = {n_exch}"))
+    checks.append(("dict enrichment broadcasts", "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+                   "no broadcast found"))
+
+    # --- column pruning / filter pushdown on a narrow projection
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    narrow = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    p = plan_of(narrow)
+    out.append("## pushdown probe (filter+project on events)\n```\n" + p + "\n```\n")
+    checks.append(("filter pushed to scan", "PushedFilters: [" in p and "event_type" in p.split("PushedFilters")[1][:200],
+                   "no pushed filter"))
+    checks.append(("schema pruned", "props" not in p.split("ReadSchema")[1][:300],
+                   "props read despite projection"))
+
+    # --- TPC-H Q3: dimension must broadcast
+    q3 = entrymod.q_tpch_q3(spark, SF)
+    p = plan_of(q3)
+    out.append("## tpch_q3\n```\n" + p + "\n```\n")
+    checks.append(("q3 customer broadcast", "BroadcastHashJoin" in p, "no broadcast join"))
+    checks.append(("q3 top-k is TakeOrdered", "TakeOrderedAndProject" in p, "global sort instead of top-k"))
+
+    # --- coalesce contract query
+    p = plan_of(entrymod.q_ev_coalesce(spark, SF))
+    out.append("## ev_coalesce\n```\n" + p + "\n```\n")
+    checks.append(("coalesce = one exchange", p.count("Exchange") == 1, f"{p.count('Exchange')} exchanges"))
+
+    out.append("## checks\n")
+    failed = 0
+    for name, ok, detail in checks:
+        out.append(f"- {'PASS' if ok else 'FAIL'}: {name}" + ("" if ok else f" ({detail})"))
+        if not ok:
+            failed += 1
+    (Path(__file__).resolve().parents[1] / "PLANS.md").write_text("\n".join(out))
+    print("\n".join(out[-len(checks):]))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

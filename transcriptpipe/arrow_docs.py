@@ -68,24 +68,34 @@ def _fields_dict(fields) -> dict:
 
 
 def _turn_from_struct(conv_id: str, d: dict, min_ts) -> oracle.ParsedTurn:
-    fields = _fields_dict(d["fields"])
-    # reconstruct the kv view for arg reassembly: interpreted value, except
-    # hex fields where the raw (last) element is the tokenizer's value
-    keys = list(fields.keys())
-    vals = [fields[k][-1] if k == "hex" else fields[k][0] for k in keys]
+    if "fields" in d and d["fields"] is not None:
+        # pre-parsed path (expr-parse upstream): reconstruct the kv view for
+        # arg reassembly — interpreted value, except hex fields where the raw
+        # (last) element is the tokenizer's value
+        fields = _fields_dict(d["fields"])
+        keys = list(fields.keys())
+        vals = [fields[k][-1] if k == "hex" else fields[k][0] for k in keys]
+        item_idx = int(d["item_idx"]) if d["item_idx"] is not None else None
+        row_error = d["row_error"]
+    else:
+        # fast path: raw text shuffled, tokenize here (same code as the
+        # single-process oracle — the vectorized Arrow grok stage)
+        keys, vals, fields, item_idx, row_error = oracle.parse_text(d["text"] or "")
+        if row_error is None and d["tool"] is not None and d["tool_name"] is None:
+            row_error = oracle.schemas.ERR_UNKNOWN_TOOL
     return oracle.ParsedTurn(
         conv_id=conv_id,
         turn_idx=int(d["turn_idx"]),
         role=d["role_name"],
         text=d["text"],
-        tool=d["tool_name"],
+        tool=d.get("tool", d["tool_name"]),
         tool_name=d["tool_name"],
         ts=min_ts,
         keys=keys,
         vals=vals,
         fields=fields,
-        item_idx=int(d["item_idx"]) if d["item_idx"] is not None else None,
-        row_error=d["row_error"],
+        item_idx=item_idx,
+        row_error=row_error,
     )
 
 
@@ -126,6 +136,95 @@ def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
             (t.turn_idx, t.row_error, t.text) for t in pturns if t.row_error
         ],
     }
+
+
+def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
+                       events_per_doc: int = 100, with_text: bool = True
+                       ) -> DataFrame:
+    """Sorted-stream coalesce+render: repartition by conv_id, Tungsten
+    sortWithinPartitions (binary, spillable — no per-group JVM objects at
+    all), then ONE mapInPandas pass that groups consecutive rows per
+    conversation and assembles/renders each — aushape's sequential
+    event-stream model (lib/conv.c one callback per completed event),
+    vectorized over Arrow batches.
+
+    This is the 10^12-row shape: the exchange carries flat rows, the sort
+    spills, and per-task state is exactly one in-flight conversation
+    (bounded by the upstream turn cap). Conversations spanning Arrow batch
+    boundaries are carried between batches inside the task.
+
+    Expects columns: conv_id, turn_idx, role_name, text, tool, tool_name,
+    ts, and optionally turn_capped.
+    """
+    has_cap = "turn_capped" in enriched.columns
+    cols = ["conv_id", "turn_idx", "role_name", "text", "tool", "tool_name", "ts"]
+    if has_cap:
+        cols.append("turn_capped")
+    # explicit partition count: 4 tasks per core so waves pack tightly and a
+    # skewed (hot-conversation) partition costs 1/4 core-slot, not a straggler
+    # wave. Event-log measured: 47 auto partitions on 32 cores = 1.5 waves
+    # with a 14s max task; 4x parallelism cuts wall ~25%.
+    n_parts = enriched.sparkSession.sparkContext.defaultParallelism * 4
+    df = (
+        enriched.select(*cols)
+        .repartition(n_parts, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key: str | None = None
+        carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name, ts, cap)]
+        out: list[dict] = []
+
+        def flush(key: str, rows: list[tuple]) -> None:
+            turns = [
+                {"turn_idx": r[0], "role_name": r[1], "text": r[2],
+                 "tool": r[3], "tool_name": r[4]}
+                for r in rows
+            ]
+            min_ts = min(r[5] for r in rows)
+            capped = bool(rows[0][6]) if rows[0][6] is not None else False
+            out.append(_render_one(key, turns, min_ts, capped,
+                                   max_doc_bytes, events_per_doc, with_text))
+
+        for pdf in batches:
+            ids = pdf["conv_id"].to_numpy()
+            data = list(zip(
+                pdf["turn_idx"].to_numpy().tolist(),
+                pdf["role_name"].to_numpy().tolist(),
+                pdf["text"].to_numpy().tolist(),
+                pdf["tool"].to_numpy().tolist(),
+                pdf["tool_name"].to_numpy().tolist(),
+                list(pdf["ts"].dt.to_pydatetime()),
+                (pdf["turn_capped"].to_numpy().tolist() if has_cap else [None] * len(pdf)),
+            ))
+            i = 0
+            n = len(ids)
+            while i < n:
+                j = i
+                key = ids[i]
+                while j < n and ids[j] == key:
+                    j += 1
+                rows = data[i:j]
+                if carry_key is not None and key == carry_key:
+                    rows = carry + rows
+                elif carry_key is not None:
+                    flush(carry_key, carry)
+                if j == n:  # group may continue in the next batch
+                    carry_key, carry = key, rows
+                else:
+                    flush(key, rows)
+                    carry_key, carry = None, None
+                i = j
+            if len(out) >= 256:
+                yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
+                out = []
+        if carry_key is not None:
+            flush(carry_key, carry)
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=DOC_SCHEMA)
 
 
 def render_docs_arrow(coalesced: DataFrame, max_doc_bytes: int | None = 8192,

@@ -74,6 +74,21 @@ def coalesce_events(parsed: DataFrame) -> DataFrame:
     )
 
 
+def coalesce_events_raw(enriched: DataFrame) -> DataFrame:
+    """Fast-path A1 aggregation: shuffle RAW turns only (turn_idx, role_name,
+    text, tool, tool_name) — tokenization happens downstream in the Arrow
+    stage (arrow_docs), so the exchange carries ~half the bytes of the
+    pre-parsed variant and the struct is fully orderable (plain array_sort,
+    no comparator lambda). Expects enrich_roles/enrich_tools applied.
+    """
+    turn = F.struct("turn_idx", "role_name", "text", "tool", "tool_name")
+    return enriched.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(turn)).alias("turns"),
+        F.min("ts").alias("min_ts"),
+        F.count("*").cast("int").alias("n_turns"),
+    )
+
+
 ARG_KEY_ANY = r"^a\d+(_len)?$|^a\d+\[\d+\]$"
 ARG_IDX_RE = r"^a(\d+)"
 SLICE_IDX_RE = r"^a\d+\[(\d+)\]$"

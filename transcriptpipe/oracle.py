@@ -64,8 +64,10 @@ class ParsedTurn:
     row_error: str | None = None
 
 
-def parse_turn(row: dict) -> ParsedTurn:
-    text = row["text"] or ""
+def parse_text(text: str):
+    """Tokenize one turn's text. Returns (keys, vals, fields, item_idx,
+    text_error) — the pure F5-F7/F9 part, shared by parse_turn and the
+    Arrow fast path (arrow_docs)."""
     keys, vals = [], []
     for m in TOKEN_RE.finditer(text):
         keys.append(m.group(1))
@@ -78,11 +80,17 @@ def parse_turn(row: dict) -> ParsedTurn:
         else:
             fields[k] = [v]
     kv = dict(zip(keys, vals))
-    row_error = None
+    text_error = None
     if not keys and text.strip():
-        row_error = schemas.ERR_PARSE_FAIL
+        text_error = schemas.ERR_PARSE_FAIL
     elif "hex" in kv and decode_hex(kv["hex"]) is None:
-        row_error = schemas.ERR_INVALID_HEX
+        text_error = schemas.ERR_INVALID_HEX
+    return keys, vals, fields, try_int(kv.get("item")), text_error
+
+
+def parse_turn(row: dict) -> ParsedTurn:
+    text = row["text"] or ""
+    keys, vals, fields, item_idx, row_error = parse_text(text)
 
     role = ROLE_MAP.get(row["role"], row["role"])
     tool = row.get("tool")
@@ -93,7 +101,7 @@ def parse_turn(row: dict) -> ParsedTurn:
         conv_id=row["conv_id"], turn_idx=row["turn_idx"], role=role,
         text=text, tool=tool, tool_name=tool_name, ts=row["ts"],
         keys=keys, vals=vals, fields=fields,
-        item_idx=try_int(kv.get("item")), row_error=row_error,
+        item_idx=item_idx, row_error=row_error,
     )
 
 

@@ -38,6 +38,10 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus * 2, 8)
+    # shuffle/spill files on tmpfs when available: the sandbox's /tmp is a
+    # single virtual disk shared by every parallelism level, which a real
+    # cluster would scale with its nodes (per-executor NVMe)
+    local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else None
     b = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -55,10 +59,20 @@ def get_spark(
         # collect_list aggregation (the A1 coalesce) runs in ObjectHashAggregate;
         # the default sort-based fallback threshold (128 keys/partition) forces
         # a full sort on any realistic key cardinality — measured 2-3x slower on
-        # the bench pipeline. Per-group state is bounded by the turn cap, so a
-        # high threshold is safe.
-        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
+        # the bench pipeline. But an UNbounded threshold lets AQE-coalesced fat
+        # partitions hold every group as Java objects (GC collapse at 32
+        # concurrent tasks — measured). 64k groups/task ≈ 100MB object state:
+        # hash-agg speed with sort-fallback safety.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+        # keep post-shuffle partitions small enough that grouped-object state
+        # fits comfortably per task at high concurrency
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(32 * 1024 * 1024))
+        # preallocate the heap: measured multi-run warm-in from heap growth
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '8g')}")
     )
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -80,7 +80,7 @@ def q_ev_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EV_KV_PARSE = """
 SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
        count(*) AS n,
-       sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_sum
+       CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
 FROM events GROUP BY 1
 """
 
@@ -167,7 +167,7 @@ def q_ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_EV_SESSIONIZE = """
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events FROM (
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
   SELECT user_id,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
                 (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
@@ -211,8 +211,32 @@ def q_ev_doc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EV_DOC_BATCH = """
 SELECT CAST(floor(event_id / 100) AS BIGINT) AS doc_id,
        count(*) AS n_rows,
-       sum(strlen(props)) AS bytes_out,
+       CAST(sum(strlen(props)) AS BIGINT) AS bytes_out,
        count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def q_ev_doc_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 complete: multi-event document ASSEMBLY (count mode) — events
+    grouped into serial-ranged documents, bodies concatenated in serial
+    order with prologue/epilogue wrapping (conv_buf.c:711-757 analog)."""
+    from transcriptpipe import docbatch
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("serial"), F.col("props").alias("doc")
+    )
+    out = docbatch.batch_documents(ev, events_per_doc=50)
+    return out.withColumn("n_events", F.col("n_events").cast("long"))
+
+
+SQL_EV_DOC_ASSEMBLE = """
+SELECT CAST(floor(event_id / 50) AS BIGINT) AS doc_id,
+       count(*) AS n_events,
+       min(event_id) AS first_serial,
+       max(event_id) AS last_serial,
+       CAST(sum(strlen(props)) + count(*) - 1 AS BIGINT) AS event_bytes,
+       '[' || string_agg(props, ',' ORDER BY event_id) || ']' AS doc
 FROM events GROUP BY 1
 """
 
@@ -438,7 +462,7 @@ bands AS (SELECT doc_id, md5(h0 || h1) AS band, 0 AS band_id FROM sig
           SELECT doc_id, md5(h2 || h3) AS band, 1 AS band_id FROM sig),
 buckets AS (SELECT band_id, band, count(*) AS c FROM bands GROUP BY 1, 2)
 SELECT band_id, count(*) AS n_buckets,
-       sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_collision_buckets,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets,
        CAST(sum(c * (c - 1) / 2) AS BIGINT) AS n_candidate_pairs
 FROM buckets GROUP BY band_id
 """
@@ -532,10 +556,10 @@ def q_doc_textstats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_TEXTSTATS = f"""
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS total_tokens,
-       sum(len(list_filter(string_split(text, ' '),
-               t -> list_contains({STOPWORDS!r}, t)))) AS total_stopwords,
-       sum(n_chars) AS total_chars
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(list_filter(string_split(text, ' '),
+               t -> list_contains({STOPWORDS!r}, t)))) AS BIGINT) AS total_stopwords,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -582,7 +606,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_QUALITY = r"""
 SELECT source, count(*) AS n_docs,
-       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        round(sum(round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                  / greatest(length(text), 1), 4)), 3) AS punct_ratio_sum
 FROM documents GROUP BY source
@@ -764,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_sessionize": q_ev_sessionize,
         "ev_dedup_exact": q_ev_dedup_exact,
         "ev_doc_batch": q_ev_doc_batch,
+        "ev_doc_assemble": q_ev_doc_assemble,
         "ev_repeated_guard": q_ev_repeated_guard,
         "ev_route_counts": q_ev_route_counts,
         "tpch_q1": q_tpch_q1,
@@ -795,6 +820,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_sessionize": SQL_EV_SESSIONIZE,
         "ev_dedup_exact": SQL_EV_DEDUP_EXACT,
         "ev_doc_batch": SQL_EV_DOC_BATCH,
+        "ev_doc_assemble": SQL_EV_DOC_ASSEMBLE,
         "ev_repeated_guard": SQL_EV_REPEATED_GUARD,
         "ev_route_counts": SQL_EV_ROUTE_COUNTS,
         "tpch_q1": SQL_TPCH_Q1,

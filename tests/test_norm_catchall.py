@@ -1,0 +1,149 @@
+"""Round-2 semantics: norm section (--with-norm analog), dispatcher
+catch-all for unregistered roles (A2/U1), and the empty-event filter (P2)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from transcriptpipe import oracle, pipeline, schemas
+
+BASE = datetime(2026, 2, 1)
+
+
+def _rows(conv_id, specs):
+    """specs: list of (role, text, tool)."""
+    return [
+        {"conv_id": conv_id, "turn_idx": i, "role": role, "text": text,
+         "tool": tool, "ts": BASE + timedelta(seconds=i)}
+        for i, (role, text, tool) in enumerate(specs)
+    ]
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    rows = (
+        # normal conversation with an unknown role "moderator"
+        _rows("conv-00000001", [
+            ("system", "msg=hello policy=standard", None),
+            ("user", 'msg="run the scan" seq=1', None),
+            ("moderator", "msg=flagged level=2", None),
+            ("assistant", "msg=done seq=2", None),
+            ("EOE", "", None),
+        ])
+        # repeated unknown role -> REPEATED_RECORD
+        + _rows("conv-00000002", [
+            ("system", "msg=hello", None),
+            ("auditor", "msg=check1", None),
+            ("auditor", "msg=check2", None),
+        ])
+        # zero records, no errors -> P2: emits nothing
+        + _rows("conv-00000003", [
+            ("EOE", "", None),
+            ("user", "   ", None),
+        ])
+        # tool conversation for norm object fields
+        + _rows("conv-00000004", [
+            ("system", "msg=sys policy=strict", None),
+            ("user", 'msg="first question" seq=0', None),
+            ("tool_call", "msg=call argc=2 a0=alpha a1=beta", "T01"),
+            ("tool_result", "msg=result item=0", None),
+            ("user", 'msg="second question" seq=1', None),
+        ])
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+
+
+def _docs(spark, df, engine, **kw):
+    conf = pipeline.PipeConf(engine=engine, persist=False, **kw)
+    sinks = pipeline.build(spark, df, conf)
+    return ({r["conv_id"]: r for r in sinks["json_doc"].collect()},
+            sorted((r["conv_id"], r["error_code"]) for r in sinks["error"].collect()))
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_catch_all_unknown_role_in_data(spark, mixed_df, engine):
+    docs, _ = _docs(spark, mixed_df, engine)
+    d = json.loads(docs["conv-00000001"]["doc"])
+    assert d["data"]["moderator"] == {"msg": ["flagged"], "level": ["2"]}
+    # registered roles untouched
+    assert "system" in d["data"] and "user" in d["data"]
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_repeated_unknown_role_errors(spark, mixed_df, engine):
+    docs, errs = _docs(spark, mixed_df, engine)
+    d = docs["conv-00000002"]
+    assert d["error"] == schemas.ERR_REPEATED_RECORD
+    assert "data" not in json.loads(d["doc"])  # P6 demotion
+    assert ("conv-00000002", schemas.ERR_REPEATED_RECORD) in errs
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_empty_event_filter_p2(spark, mixed_df, engine):
+    docs, errs = _docs(spark, mixed_df, engine)
+    assert "conv-00000003" not in docs
+    assert not any(c == "conv-00000003" for c, _ in errs)
+
+
+def test_p2_oracle_agrees(mixed_df):
+    rows = [r.asDict() for r in mixed_df.collect()]
+    out = oracle.run_pipeline(rows)
+    assert not any(d["conv_id"] == "conv-00000003" for d in out["json_doc"])
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_norm_section_contents(spark, mixed_df, engine):
+    docs, _ = _docs(spark, mixed_df, engine, with_norm=True)
+    n = json.loads(docs["conv-00000004"]["doc"])["norm"]
+    assert n["event_kind"] == "tool_use"
+    assert n["session"] == 4
+    assert n["subject_kind"] == "user"
+    assert n["subject_primary"] == "first question"
+    assert n["subject_secondary"] == "second question"
+    assert n["subject_attrs"] == ["msg", "policy"]
+    assert n["action"] == "call"
+    assert n["object_kind"] == "tool_args"
+    assert n["object_primary"] == "alpha"
+    assert n["object_secondary"] == "beta"
+    assert n["result"] == 1
+    assert n["how"] == "tool_1"
+    assert n["key"] == "conv-00000004"
+    # dialogue-only conversation
+    n1 = json.loads(docs["conv-00000001"]["doc"])["norm"]
+    assert n1["event_kind"] == "dialogue" and n1["action"] == "converse"
+    assert "object_kind" not in n1
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_norm_in_xml(spark, mixed_df, engine):
+    import xml.etree.ElementTree as ET
+
+    conf = pipeline.PipeConf(engine=engine, persist=False, with_norm=True)
+    sinks = pipeline.build(spark, mixed_df, conf)
+    xml = {r["conv_id"]: r["doc"] for r in sinks["xml_doc"].collect()}
+    root = ET.fromstring(xml["conv-00000004"])
+    norm = root.find("norm")
+    assert norm is not None
+    fields = {f.get("name"): [v.text for v in f] for f in norm}
+    assert fields["event_kind"] == ["tool_use"]
+    assert fields["result"] == ["1"]
+    # unknown role element present in data
+    root1 = ET.fromstring(xml["conv-00000001"])
+    assert root1.find("data/moderator") is not None
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_with_text_false_keeps_text_on_error(spark, mixed_df, engine):
+    docs, _ = _docs(spark, mixed_df, engine, with_text=False)
+    errored = json.loads(docs["conv-00000002"]["doc"])
+    assert "text" in errored  # conv_buf.c:663-667: error keeps source text
+    clean = json.loads(docs["conv-00000001"]["doc"])
+    assert "text" not in clean

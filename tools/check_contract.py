@@ -14,6 +14,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -23,13 +24,20 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
-    if isinstance(v, float):
+    # Type-tagged normalization: the driver hashes values as materialized, so
+    # an int-vs-float mismatch (e.g. DuckDB HUGEINT sum -> float64) must FAIL
+    # here too, even when numerically equal (ADVICE r01).
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", str(bool(v)))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
+            return ("f", "nan")
+        return ("f", f"{float(v):.6g}")
+    if isinstance(v, (int, np.integer)):
+        return ("i", str(int(v)))
     if isinstance(v, pd.Timestamp):
-        return v.isoformat()
-    return str(v)
+        return ("t", v.isoformat())
+    return ("s", str(v))
 
 
 def frame_key(df: pd.DataFrame) -> list[tuple]:

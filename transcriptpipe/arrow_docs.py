@@ -26,6 +26,7 @@ import json
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -54,6 +55,11 @@ DOC_SCHEMA = T.StructType([
 ])
 
 _SERIAL_RE = re.compile(r"(\d+)$")
+
+# tasks per core in the render stage: waves pack tightly and a skewed
+# (hot-conversation) partition costs a fraction of a core-slot, not a
+# straggler wave (tuned empirically — see BENCH/BASELINE.md)
+PART_MULT = 4
 
 
 def _fields_dict(fields) -> dict:
@@ -101,27 +107,43 @@ def _turn_from_struct(conv_id: str, d: dict, min_ts) -> oracle.ParsedTurn:
 
 def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
                 max_doc_bytes: int | None, events_per_doc: int,
-                with_text: bool = True) -> dict:
+                with_text: bool = True, with_norm: bool = False) -> dict | None:
     pturns = [_turn_from_struct(conv_id, t, min_ts) for t in turns]
     conv = oracle.coalesce_conv(pturns)
+    if conv["n_records"] == 0 and conv["error"] is None:
+        return None  # P2 empty-event drop (ref lib/conv_buf.c:570-574)
 
-    def dump(text: bool, trimmed: bool, with_data: bool = True) -> str:
-        obj = oracle.doc_object(conv, with_text=text and with_text)
-        if not with_data:
+    last_obj: list = [None]
+
+    def dump(text: bool, norm: bool, data: bool, trimmed: bool) -> str:
+        # base text presence = with_text OR errored (conv_buf.c:663-667);
+        # the trim cascade may then drop it (text is trimmed first)
+        obj = oracle.doc_object(conv, with_text=with_text,
+                                with_norm=norm and with_norm)
+        if not text:
+            obj.pop("text", None)
+        if not data:
             obj.pop("data", None)
         if trimmed:
             obj["trimmed"] = True
+        last_obj[0] = obj
         return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
 
-    full = dump(True, False)
+    full = dump(True, True, True, False)
     trimmed = bool(turn_capped)
     doc = full
     if max_doc_bytes is not None and len(full.encode("utf-8")) > max_doc_bytes:
+        # priority trim (ref lib/gbtree.c:555-606 drop order: text first,
+        # then norm, then the data section)
         trimmed = True
-        no_text = dump(False, True)
-        doc = no_text if len(no_text.encode("utf-8")) <= max_doc_bytes else dump(False, True, with_data=False)
+        doc = full
+        for variant in ((False, True, True), (False, False, True),
+                        (False, False, False)):
+            doc = dump(*variant, True)
+            if len(doc.encode("utf-8")) <= max_doc_bytes:
+                break
 
-    xml = render.xml_from_doc(json.loads(doc))
+    xml = render.xml_from_doc(last_obj[0])
     return {
         "conv_id": conv_id,
         "doc_id": conv["serial"] // events_per_doc if conv["serial"] is not None else None,
@@ -139,8 +161,8 @@ def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
 
 
 def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
-                       events_per_doc: int = 100, with_text: bool = True
-                       ) -> DataFrame:
+                       events_per_doc: int = 100, with_text: bool = True,
+                       with_norm: bool = False) -> DataFrame:
     """Sorted-stream coalesce+render: repartition by conv_id, Tungsten
     sortWithinPartitions (binary, spillable — no per-group JVM objects at
     all), then ONE mapInPandas pass that groups consecutive rows per
@@ -164,7 +186,7 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
     # skewed (hot-conversation) partition costs 1/4 core-slot, not a straggler
     # wave. Event-log measured: 47 auto partitions on 32 cores = 1.5 waves
     # with a 14s max task; 4x parallelism cuts wall ~25%.
-    n_parts = enriched.sparkSession.sparkContext.defaultParallelism * 4
+    n_parts = enriched.sparkSession.sparkContext.defaultParallelism * PART_MULT
     df = (
         enriched.select(*cols)
         .repartition(n_parts, "conv_id")
@@ -184,8 +206,11 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
             ]
             min_ts = min(r[5] for r in rows)
             capped = bool(rows[0][6]) if rows[0][6] is not None else False
-            out.append(_render_one(key, turns, min_ts, capped,
-                                   max_doc_bytes, events_per_doc, with_text))
+            rec = _render_one(key, turns, min_ts, capped,
+                              max_doc_bytes, events_per_doc, with_text,
+                              with_norm)
+            if rec is not None:
+                out.append(rec)
 
         for pdf in batches:
             ids = pdf["conv_id"].to_numpy()
@@ -195,7 +220,7 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 pdf["text"].to_numpy().tolist(),
                 pdf["tool"].to_numpy().tolist(),
                 pdf["tool_name"].to_numpy().tolist(),
-                list(pdf["ts"].dt.to_pydatetime()),
+                pdf["ts"].tolist(),  # pd.Timestamps: strftime/microsecond/min all work
                 (pdf["turn_capped"].to_numpy().tolist() if has_cap else [None] * len(pdf)),
             ))
             i = 0
@@ -228,8 +253,8 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
 
 
 def render_docs_arrow(coalesced: DataFrame, max_doc_bytes: int | None = 8192,
-                      events_per_doc: int = 100, with_text: bool = True
-                      ) -> DataFrame:
+                      events_per_doc: int = 100, with_text: bool = True,
+                      with_norm: bool = False) -> DataFrame:
     """coalesce_events output (+ optional turn_capped column) -> doc frame
     with json, xml, error, and row-error columns, in one Arrow pass."""
     has_cap = "turn_capped" in coalesced.columns
@@ -239,17 +264,18 @@ def render_docs_arrow(coalesced: DataFrame, max_doc_bytes: int | None = 8192,
             out = []
             caps = pdf["turn_capped"] if has_cap else None
             for i in range(len(pdf)):
-                out.append(
-                    _render_one(
-                        pdf["conv_id"].iat[i],
-                        pdf["turns"].iat[i],
-                        pdf["min_ts"].iat[i],
-                        bool(caps.iat[i]) if caps is not None and pd.notna(caps.iat[i]) else False,
-                        max_doc_bytes,
-                        events_per_doc,
-                        with_text,
-                    )
+                rec = _render_one(
+                    pdf["conv_id"].iat[i],
+                    pdf["turns"].iat[i],
+                    pdf["min_ts"].iat[i],
+                    bool(caps.iat[i]) if caps is not None and pd.notna(caps.iat[i]) else False,
+                    max_doc_bytes,
+                    events_per_doc,
+                    with_text,
+                    with_norm,
                 )
+                if rec is not None:
+                    out.append(rec)
             yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
 
     return coalesced.mapInPandas(run, schema=DOC_SCHEMA)

@@ -206,7 +206,14 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
     lib/conv.c:87-141 where add-time errors precede end-of-event validation):
     add-time (PARSE_FAIL/INVALID_HEX/UNKNOWN_TOOL/REPEATED_RECORD, earliest
     turn first, code as tiebreak) → INVALID_EXECVE → INVALID_PATH.
+
+    The role→collector dispatch is driven by schemas.COLLECTORS (U1 registry,
+    ref lib/conv_buf.c:60-96); roles absent from the registry fall through to
+    the catch-all uniq collector (ref disp_coll.c:191-228): their fields land
+    in the ``extra`` map under the lowercased role name and a repeat raises
+    REPEATED_RECORD exactly like a duplicate ``system`` record.
     """
+    registered = list(schemas.COLLECTORS)
     turns = F.col("turns")
 
     texts = F.transform(turns, lambda t: t["text"])
@@ -216,7 +223,28 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
         F.filter(turns, lambda t: t["row_error"].isNotNull()), F.lit(1)
     )
     sys_arr = F.filter(turns, lambda t: t["role_name"] == "system")
-    rep_turn = F.when(F.size(sys_arr) > 1, F.try_element_at(sys_arr, F.lit(2))["turn_idx"])
+
+    # uniq-collected turns = registered uniq roles + catch-all (unregistered);
+    # dedup key is the role (lowercased for catch-all, matching the reference
+    # lowercasing record type names). First duplicate's turn_idx latches.
+    def _is_uniq(t: Column) -> Column:
+        return t["role_name"].isin(schemas.UNIQ_ROLES) | ~t["role_name"].isin(registered)
+
+    def _uniq_key(t: Column) -> Column:
+        return F.when(
+            t["role_name"].isin(registered), t["role_name"]
+        ).otherwise(F.lower(t["role_name"]))
+
+    uniq_turns = F.filter(turns, lambda t: _is_uniq(t) & t["role_name"].isNotNull())
+    uniq_keys = F.transform(uniq_turns, _uniq_key)
+    dup_turns = F.filter(
+        uniq_turns,
+        lambda t, i: F.array_contains(
+            F.coalesce(F.slice(uniq_keys, F.lit(1), i), F.array()), _uniq_key(t)
+        ),
+    )
+    rep_turn = F.array_min(F.transform(dup_turns, lambda t: t["turn_idx"]))
+
     fe_t, fe_c = first_row_err["turn_idx"], first_row_err["row_error"]
     rep_c = F.lit(schemas.ERR_REPEATED_RECORD)
     add_err = (
@@ -261,15 +289,92 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
         )
     )
 
-    data = F.struct(
-        F.when(F.size(sys_arr) == 1, F.try_element_at(sys_arr, F.lit(1))["fields"]).alias("system"),
-        role_fields("user").alias("user"),
-        role_fields("assistant").alias("assistant"),
-        role_fields("tool_call").alias("tool_call"),
-        F.when(n_items > 0, F.transform(results, lambda t: t["fields"])).alias("tool_result"),
-        args.alias("args"),
-        F.when(F.size(tools) > 0, tools).alias("tools"),
+    # ---- data struct built FROM the registry (U1: a new record type is a
+    # registry entry, not an edit here)
+    data_fields = []
+    for role, coll in schemas.COLLECTORS.items():
+        if coll == schemas.COLL_UNIQ:
+            # NB: a default-arg lambda has two params, which F.filter treats
+            # as (element, index) — use a closure factory instead
+            def _eq_role(r):
+                return lambda t: t["role_name"] == r
+
+            arr = F.filter(turns, _eq_role(role))
+            data_fields.append(
+                F.when(F.size(arr) == 1, F.try_element_at(arr, F.lit(1))["fields"])
+                .alias(role)
+            )
+        elif coll == schemas.COLL_REP:
+            data_fields.append(role_fields(role).alias(role))
+        elif coll == schemas.COLL_SLOT:
+            data_fields.append(
+                F.when(n_items > 0, F.transform(results, lambda t: t["fields"]))
+                .alias(role)
+            )
+        # drop: contributes nothing
+    data_fields.append(args.alias("args"))
+    data_fields.append(F.when(F.size(tools) > 0, tools).alias("tools"))
+    data = F.struct(*data_fields)
+
+    # catch-all entries (appended after args/tools in the rendered data{});
+    # lowercased names colliding with a registered role are excluded. Repeats
+    # can only survive to here under a latched error (data voided), so the
+    # LAST_WIN map dedup never affects rendered output.
+    extra_turns = F.filter(
+        turns,
+        lambda t: t["role_name"].isNotNull()
+        & ~t["role_name"].isin(registered)
+        & ~F.lower(t["role_name"]).isin(registered),
     )
+    extra = F.map_from_entries(
+        F.transform(
+            extra_turns,
+            lambda t: F.struct(
+                F.lower(t["role_name"]).alias("key"), t["fields"].alias("value")
+            ),
+        )
+    )
+
+    # ---- normalization section (--with-norm analog; field table mirrors
+    # /root/reference/lib/conv_buf.c:185-353 — see oracle.norm_object)
+    user_arr = F.filter(turns, lambda t: t["role_name"] == "user")
+    tc_arr = F.filter(turns, lambda t: t["role_name"] == "tool_call")
+    n_users = F.size(user_arr)
+
+    def _msg_of(t: Column) -> Column:
+        return F.try_element_at(F.try_element_at(t["fields"], F.lit("msg")), F.lit(1))
+
+    sys_keys = F.when(
+        F.size(sys_arr) == 1,
+        F.map_keys(F.try_element_at(sys_arr, F.lit(1))["fields"]),
+    )
+    serial = F.regexp_extract("conv_id", r"(\d+)$", 1).try_cast("long")
+    n_args = F.size(args)
+    norm = F.struct(
+        F.when(F.size(tc_arr) > 0, F.lit("tool_use")).otherwise("dialogue").alias("event_kind"),
+        serial.alias("session"),
+        F.when(n_users > 0, F.lit("user"))
+        .otherwise(F.try_element_at(turns, F.lit(1))["role_name"])
+        .alias("subject_kind"),
+        F.when(n_users > 0, _msg_of(F.try_element_at(user_arr, F.lit(1)))).alias("subject_primary"),
+        F.when(n_users >= 2, _msg_of(F.try_element_at(user_arr, F.lit(-1)))).alias("subject_secondary"),
+        F.when(F.size(sys_keys) > 0, sys_keys).alias("subject_attrs"),
+        F.when(F.size(tc_arr) > 0, F.lit("call")).otherwise("converse").alias("action"),
+        F.when(n_args > 0, F.lit("tool_args")).alias("object_kind"),
+        F.try_element_at(args, F.lit(1)).alias("object_primary"),
+        F.try_element_at(args, F.lit(2)).alias("object_secondary"),
+        F.try_element_at(args, F.lit(3)).alias("object_primary2"),
+        F.when(n_args > 3, F.slice(args, F.lit(4), n_args - 3)).alias("object_attrs"),
+        n_items.alias("result"),
+        F.try_element_at(
+            F.filter(turns, lambda t: t["tool_name"].isNotNull()), F.lit(1)
+        )["tool_name"].alias("how"),
+        F.col("conv_id").alias("key"),
+    )
+
+    # a "record" is a turn that contributed parsed fields; zero records and
+    # no error ⇒ the conversation emits nothing (P2, conv_buf.c:570-574)
+    n_records = F.size(F.filter(turns, lambda t: F.size(t["fields"]) > 0))
 
     # per-row errors for the error sink, carried on the doc row so the sink
     # fan-out never re-parses the input (one pass, persist docs only)
@@ -282,14 +387,16 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
         ),
     )
 
-    return coalesced.select(
+    return coalesced.filter(error.isNotNull() | (n_records > 0)).select(
         "conv_id",
-        F.regexp_extract("conv_id", r"(\d+)$", 1).try_cast("long").alias("serial"),
+        serial.alias("serial"),
         "min_ts",
         "n_turns",
         texts.alias("texts"),
         # P6 error demotion (conv_buf.c:627-648): on error void data, keep text
         F.when(error.isNull(), data).alias("data"),
+        F.when(error.isNull(), extra).alias("extra"),
+        norm.alias("norm"),
         error.alias("error"),
         row_errs.alias("row_errs"),
         "text_bytes",

@@ -28,7 +28,10 @@ TOOL_MAP = {t["tool_code"]: t["tool_name"] for t in synth.tool_dict_rows()}
 
 def unquote(v: str) -> str:
     if len(v) >= 2 and v.startswith('"') and v.endswith('"'):
-        return UNESCAPE_RE.sub(r"\1", v[1:-1])
+        body = v[1:-1]
+        if "\\" not in body:  # fast path: no escapes to fold
+            return body
+        return UNESCAPE_RE.sub(r"\1", body)
     return v
 
 
@@ -168,23 +171,76 @@ def reassemble_args(turns: list[ParsedTurn]):
     return None, schemas.ERR_INVALID_EXECVE, True
 
 
+def _collector_of(role: str) -> str:
+    return schemas.COLLECTORS.get(role, schemas.CATCH_ALL)
+
+
+def norm_object(conv_id: str, serial: int | None, turns: list[ParsedTurn],
+                args, tools: list[str]) -> dict:
+    """The normalization section (--with-norm analog): a per-event normalized
+    summary mirroring the auparse_normalize field table the reference renders
+    (/root/reference/lib/conv_buf.c:185-353 — event_kind / session / subject /
+    action / object / result / how / key), re-derived from the transcript
+    domain. Fields are omitted when absent, like the reference's META/POS
+    fields that auparse reports as missing."""
+    users = [t for t in turns if t.role == "user"]
+    tool_calls = [t for t in turns if t.role == "tool_call"]
+    sys_turns = [t for t in turns if t.role == "system"]
+    results = [t for t in turns if _collector_of(t.role) == schemas.COLL_SLOT]
+
+    def msg_of(t: ParsedTurn):
+        v = t.fields.get("msg")
+        return v[0] if v else None
+
+    norm = {
+        "event_kind": "tool_use" if tool_calls else "dialogue",
+        "session": serial,
+        "subject_kind": "user" if users else (turns[0].role if turns else None),
+        "subject_primary": msg_of(users[0]) if users else None,
+        "subject_secondary": msg_of(users[-1]) if len(users) >= 2 else None,
+        "subject_attrs": list(sys_turns[0].fields.keys()) if len(sys_turns) == 1 else None,
+        "action": "call" if tool_calls else "converse",
+        "object_kind": "tool_args" if args else None,
+        "object_primary": args[0] if args else None,
+        "object_secondary": args[1] if args and len(args) > 1 else None,
+        "object_primary2": args[2] if args and len(args) > 2 else None,
+        "object_attrs": args[3:] if args and len(args) > 3 else None,
+        "result": len(results),
+        "how": tools[0] if tools else None,
+        "key": conv_id,
+    }
+    return {k: v for k, v in norm.items() if v is not None and v != []}
+
+
 def coalesce_conv(turns: list[ParsedTurn]) -> dict:
     """Mirror of coalesce.coalesce_events + assemble_docs for one conversation."""
     turns = sorted(turns, key=lambda t: t.turn_idx)
     texts = [t.text for t in turns]
     min_ts = min(t.ts for t in turns)
 
-    # add-time errors: earliest (turn, code); REPEATED_RECORD at 2nd system turn
+    # add-time errors: earliest (turn, code). REPEATED_RECORD fires at the
+    # 2nd occurrence of ANY uniq-collected role — registered (system) or
+    # catch-all (unknown roles route to uniq, ref lib/conv_buf.c:86-90,
+    # disp_coll.c:191-228).
     add_errs = [(t.turn_idx, t.row_error) for t in turns if t.row_error]
-    sys_turns = [t for t in turns if t.role == "system"]
-    if len(sys_turns) > 1:
-        add_errs.append((sys_turns[1].turn_idx, schemas.ERR_REPEATED_RECORD))
+    uniq_seen: set[str] = set()
+    for t in turns:
+        if _collector_of(t.role) != schemas.COLL_UNIQ:
+            continue
+        # unknown roles dedupe on their lowercased (data-section) name,
+        # matching the reference lowercasing record type names
+        key = t.role if t.role in schemas.COLLECTORS else t.role.lower()
+        if key in uniq_seen:
+            add_errs.append((t.turn_idx, schemas.ERR_REPEATED_RECORD))
+        uniq_seen.add(key)
     add_err = min(add_errs)[1] if add_errs else None
+
+    sys_turns = [t for t in turns if t.role == "system"]
 
     args, execve_err, _ = reassemble_args(turns)
 
     results = sorted(
-        (t for t in turns if t.role == schemas.SLOT_ROLE),
+        (t for t in turns if _collector_of(t.role) == schemas.COLL_SLOT),
         key=lambda t: (t.item_idx is None, t.item_idx if t.item_idx is not None else 0),
     )
     item_idxs = [t.item_idx for t in results]
@@ -204,24 +260,46 @@ def coalesce_conv(turns: list[ParsedTurn]) -> dict:
 
     data = None
     if error is None:
-        data = {
-            "system": sys_turns[0].fields if len(sys_turns) == 1 else None,
-            "user": [t.fields for t in turns if t.role == "user"] or None,
-            "assistant": [t.fields for t in turns if t.role == "assistant"] or None,
-            "tool_call": [t.fields for t in turns if t.role == "tool_call"] or None,
-            "tool_result": [t.fields for t in results] or None,
-            "args": args,
-            "tools": tools or None,
-        }
+        data = {}
+        for role, coll in schemas.COLLECTORS.items():
+            if coll == schemas.COLL_UNIQ:
+                mine = [t for t in turns if t.role == role]
+                data[role] = mine[0].fields if len(mine) == 1 else None
+            elif coll == schemas.COLL_REP:
+                data[role] = [t.fields for t in turns if t.role == role] or None
+            elif coll == schemas.COLL_SLOT:
+                data[role] = [t.fields for t in results if t.role == role] or None
+            # drop: nothing
+        data["args"] = args
+        data["tools"] = tools or None
+        # catch-all: unregistered roles appended at the end of data{} under
+        # their lowercased name, first-appearance order (a repeat latched
+        # REPEATED_RECORD above, so at most one instance reaches here);
+        # lowercased names colliding with a registered role are excluded
+        for t in turns:
+            if t.role not in schemas.COLLECTORS:
+                key = t.role.lower()
+                if key not in schemas.COLLECTORS and key not in data:
+                    data[key] = t.fields
+
+    # a "record" is a turn that contributed parsed fields; a conversation
+    # with zero records and no errors emits nothing (P2 empty-event drop,
+    # ref lib/conv_buf.c:570-574)
+    n_records = sum(1 for t in turns if t.keys)
+
+    serial_m = re.search(r"(\d+)$", turns[0].conv_id)
+    serial = int(serial_m.group(1)) if serial_m else None
 
     return {
         "conv_id": turns[0].conv_id,
-        "serial": int(re.search(r"(\d+)$", turns[0].conv_id).group(1)),
+        "serial": serial,
         "min_ts": min_ts,
         "n_turns": len(turns),
+        "n_records": n_records,
         "texts": texts,
         "data": data,
         "error": error,
+        "norm": norm_object(turns[0].conv_id, serial, turns, args, tools),
     }
 
 
@@ -230,23 +308,31 @@ def iso_time(ts) -> str:
     return ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"
 
 
-def doc_object(conv: dict, with_text: bool = True) -> dict:
-    """The event document as a plain dict (semantic comparison target)."""
+def doc_object(conv: dict, with_text: bool = True, with_norm: bool = False) -> dict:
+    """The event document as a plain dict (semantic comparison target).
+
+    ``with_text=False`` still keeps text when the event carries an error —
+    the reference voids the text node only when no error occurred
+    (lib/conv_buf.c:663-667). ``with_norm`` appends the normalization
+    section after data (attached at lib/conv_buf.c:446-457)."""
     doc = {
         "serial": conv["serial"],
         "time": iso_time(conv["min_ts"]),
     }
-    if with_text:
+    if with_text or conv["error"]:
         doc["text"] = conv["texts"]
     if conv["data"] is not None:
         doc["data"] = {k: v for k, v in conv["data"].items() if v is not None}
+    if with_norm and conv.get("norm"):
+        doc["norm"] = conv["norm"]
     if conv["error"]:
         doc["error"] = conv["error"]
     return doc
 
 
 def run_pipeline(rows: list[dict], max_turns_per_conv: int = 2048,
-                 events_per_doc: int = 100) -> dict:
+                 events_per_doc: int = 100, with_text: bool = True,
+                 with_norm: bool = False) -> dict:
     """Full oracle run. Returns {json_doc: [...], error: [...], raw: [...],
     counts: {...}} with the same sink semantics as pipeline.build."""
     convs: dict[str, list[dict]] = {}
@@ -260,10 +346,15 @@ def run_pipeline(rows: list[dict], max_turns_per_conv: int = 2048,
         crows = [r for r in crows if r["turn_idx"] < max_turns_per_conv]
         turns = [parse_turn(r) for r in crows]
         conv = coalesce_conv(turns)
-        doc = doc_object(conv)
+        if conv["n_records"] == 0 and conv["error"] is None and not any(
+            t.row_error for t in turns
+        ):
+            continue  # P2 empty-event drop (conv_buf.c:570-574)
+        doc = doc_object(conv, with_text=with_text, with_norm=with_norm)
         json_docs.append({
             "conv_id": conv_id,
-            "doc_id": conv["serial"] // events_per_doc,
+            "doc_id": (conv["serial"] // events_per_doc
+                       if conv["serial"] is not None else None),
             "serial": conv["serial"],
             "time": doc["time"],
             "n_turns": conv["n_turns"],

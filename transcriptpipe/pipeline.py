@@ -44,6 +44,9 @@ class PipeConf:
     max_doc_bytes: int | None = 8192
     max_turns_per_conv: int = 2048
     with_text: bool = True  # --with-text analog (P5): include text[] in docs
+    with_norm: bool = False
+    """--with-norm analog: include the normalized summary section (norm{})
+    in each event doc (ref lib/conv_buf.c:185-353; oracle.norm_object)."""
     persist: bool = True
     """Persist the assembled docs (MEMORY_AND_DISK) so the four sinks don't
     each recompute the full parse+coalesce when they are materialized as
@@ -63,6 +66,11 @@ class PipeConf:
     cold-start cliff). 'expr': the all-JVM Catalyst expression path
     (coalesce.assemble_docs + render.render_json). Both are semantics-
     identical; tests pin the equivalence."""
+    doc_batch: int | str | None = None
+    """S6 document batching (format.h:52-59): when set, build() adds
+    ``json_log`` / ``xml_log`` sinks grouping the per-event docs into
+    multi-event documents with prologue/epilogue (see docbatch.py). Values:
+    N>1 count mode, 1 one-event docs, 0 bare, -B byte budget, "all"."""
 
 
 def cap_turns(df: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
@@ -104,6 +112,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
                 max_doc_bytes=conf.max_doc_bytes,
                 events_per_doc=conf.events_per_doc,
                 with_text=conf.with_text,
+                with_norm=conf.with_norm,
             )
         else:
             events = C.coalesce_events_raw(enriched)
@@ -113,6 +122,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
                 max_doc_bytes=conf.max_doc_bytes,
                 events_per_doc=conf.events_per_doc,
                 with_text=conf.with_text,
+                with_norm=conf.with_norm,
             )
         # every sink derives from the rendered frame (row errors travel on
         # the doc row), so parse+coalesce+render must run once even though
@@ -131,7 +141,9 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
         )
         err = route.error_sink(rendered)
         raw = route.raw_sink(transcripts)
-        return {"json_doc": json_doc, "xml_doc": xml_doc, "error": err, "raw": raw}
+        sinks = {"json_doc": json_doc, "xml_doc": xml_doc, "error": err, "raw": raw}
+        _add_doc_batch_sinks(sinks, conf)
+        return sinks
 
     parsed = parse.parse_turns(fact)
     parsed = enrich.enrich(parsed, spark)
@@ -143,19 +155,37 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
 
         docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
 
-    if not conf.with_text:  # P5 raw-text suppression (conv_buf.c:662-666)
-        docs = docs.withColumn("texts", F.lit(None).cast("array<string>"))
+    # P5 raw-text suppression (conv_buf.c:662-666) is handled inside
+    # render_json (text survives on errored events, conv_buf.c:663-667)
     json_doc = render.render_json(
         docs,
         max_doc_bytes=conf.max_doc_bytes,
         events_per_doc=conf.events_per_doc,
+        with_text=conf.with_text,
+        with_norm=conf.with_norm,
     )
 
     xml_doc = render.render_xml(json_doc)
     err = route.error_sink(docs)
     raw = route.raw_sink(transcripts)
 
-    return {"json_doc": json_doc, "xml_doc": xml_doc, "error": err, "raw": raw}
+    sinks = {"json_doc": json_doc, "xml_doc": xml_doc, "error": err, "raw": raw}
+    _add_doc_batch_sinks(sinks, conf)
+    return sinks
+
+
+def _add_doc_batch_sinks(sinks: dict[str, DataFrame], conf: PipeConf) -> None:
+    """S6: multi-event log documents built from the per-event sinks."""
+    if conf.doc_batch is None:
+        return
+    from . import docbatch
+
+    sinks["json_log"] = docbatch.batch_documents(
+        sinks["json_doc"], events_per_doc=conf.doc_batch, fmt="json"
+    )
+    sinks["xml_log"] = docbatch.batch_documents(
+        sinks["xml_doc"], events_per_doc=conf.doc_batch, fmt="xml"
+    )
 
 
 def rendered_frame(spark: SparkSession, transcripts: DataFrame,
@@ -181,6 +211,7 @@ def rendered_frame(spark: SparkSession, transcripts: DataFrame,
         max_doc_bytes=conf.max_doc_bytes,
         events_per_doc=conf.events_per_doc,
         with_text=conf.with_text,
+        with_norm=conf.with_norm,
     )
 
 

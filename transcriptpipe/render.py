@@ -33,21 +33,63 @@ TIME_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"  # ISO-8601, UTC ('Z'), ms precision
 # (documented divergence, SURVEY.md §7.3.5)
 
 
-def _doc_struct(with_text: bool, with_data: bool, trimmed: bool) -> Column:
-    parts = [
-        F.col("serial"),
-        F.col("time"),
-        (F.col("texts") if with_text else F.lit(None).cast("array<string>")).alias("text"),
-        (F.col("data") if with_data else F.lit(None)).alias("data"),
-        F.col("error"),
-    ]
-    parts.append((F.lit(True) if trimmed else F.lit(None).cast("boolean")).alias("trimmed"))
-    return F.struct(*parts)
+def _member(col: Column, name: str) -> Column:
+    """One rendered JSON object member ('"name":<value>') or null when the
+    column is null. Composition trick: to_json of a one-field struct, outer
+    braces stripped — byte-identical to the member inside a one-shot to_json
+    (JSON is context-free), so the assembled doc stays byte-equal to the
+    Python oracle's json.dumps."""
+    j = F.to_json(F.struct(col.alias(name)))
+    return F.when(col.isNotNull(), j.substr(F.lit(2), F.length(j) - 2))
+
+
+def _doc_json(text_on: Column, norm_on: bool, data_on: bool,
+              trimmed_attr: bool, with_norm: bool) -> Column:
+    """Assemble the event doc JSON from member pieces. Member order mirrors
+    oracle.doc_object: serial, time, text?, data?(+catch-all), norm?, error?,
+    trimmed?. The catch-all ``extra`` map splices into the end of the data
+    object (unknown record types appear in data{} under their lowercased
+    name, ref lib/conv_buf.c:86-90)."""
+    m_serial = F.coalesce(_member(F.col("serial"), "serial"), F.lit('"serial":null'))
+    m_time = _member(F.col("time"), "time")
+    m_text = F.when(text_on, _member(F.col("texts"), "text"))
+
+    data_json = _member(F.col("data"), "data")
+    extra_body = F.to_json(F.col("extra"))
+    extra_body = extra_body.substr(F.lit(2), F.length(extra_body) - 2)
+    has_extra = F.col("extra").isNotNull() & (F.size(F.map_keys(F.col("extra"))) > 0)
+    inner_empty = data_json == F.lit('"data":{}')
+    spliced = F.concat(
+        data_json.substr(F.lit(1), F.length(data_json) - 1),
+        F.when(inner_empty, F.lit("")).otherwise(F.lit(",")),
+        extra_body,
+        F.lit("}"),
+    )
+    if data_on:
+        m_data = F.when(has_extra, spliced).otherwise(data_json)
+    else:
+        m_data = F.lit(None).cast("string")
+
+    m_norm = (
+        _member(F.col("norm"), "norm") if (with_norm and norm_on) else F.lit(None).cast("string")
+    )
+    m_error = _member(F.col("error"), "error")
+    m_trimmed = F.lit('"trimmed":true') if trimmed_attr else F.lit(None).cast("string")
+    return F.concat(
+        F.lit("{"),
+        F.concat_ws(",", m_serial, m_time, m_text, m_data, m_norm, m_error, m_trimmed),
+        F.lit("}"),
+    )
 
 
 def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
-                events_per_doc: int = 100) -> DataFrame:
-    """Assembled event frame → JSON_DOC sink frame."""
+                events_per_doc: int = 100, with_text: bool = True,
+                with_norm: bool = False) -> DataFrame:
+    """Assembled event frame → JSON_DOC sink frame.
+
+    ``with_text=False`` still keeps text on errored events (the reference
+    voids the text node only when no error occurred, conv_buf.c:663-667) —
+    and the size estimate excludes text exactly when the doc excludes it."""
     df = docs.withColumn("time", F.date_format("min_ts", TIME_FMT))
     # turn-capped conversations (max_event_size analog) are trimmed by definition
     pre_trimmed = (
@@ -55,9 +97,11 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
         if "turn_capped" in df.columns
         else F.lit(False)
     )
-    full = F.to_json(_doc_struct(True, True, False))
-    no_text = F.to_json(_doc_struct(False, True, True))
-    envelope = F.to_json(_doc_struct(False, False, True))
+    text_on = F.lit(with_text) | F.col("error").isNotNull()
+    full = _doc_json(text_on, True, True, False, with_norm)
+    no_text = _doc_json(F.lit(False), True, True, True, with_norm)
+    no_norm = _doc_json(F.lit(False), False, True, True, with_norm)
+    envelope = _doc_json(F.lit(False), False, False, True, with_norm)
     if max_doc_bytes is None:
         doc, trimmed = full, pre_trimmed
     else:
@@ -67,17 +111,23 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
         # detected WITHOUT rendering it — inverting aushape's format-then-cut
         # (notes.txt:242-246), which would make a megabyte conversation a
         # straggler: est > cap ⟹ rendered > cap, skip that render entirely.
-        # errored docs carry no data section (P6), so field bytes don't count
+        # errored docs carry no data section (P6), so field bytes don't count;
+        # text bytes count only when the doc will carry text
         est_data = F.when(
             F.col("error").isNull(), F.coalesce(F.col("fields_bytes"), F.lit(0))
         ).otherwise(F.lit(0))
-        est_full = F.coalesce(F.col("text_bytes"), F.lit(0)) + est_data
+        est_text = F.when(text_on, F.coalesce(F.col("text_bytes"), F.lit(0))).otherwise(F.lit(0))
+        est_full = est_text + est_data
         full_fits = (est_full <= cap) & (F.octet_length(full) <= cap)
+        # priority trim (gbtree.c:555-606 analog): drop text, then norm,
+        # then the data section
         doc = (
             F.when(full_fits, full)
             .when((est_data <= cap) & (F.octet_length(no_text) <= cap), no_text)
-            .otherwise(envelope)
         )
+        if with_norm:
+            doc = doc.when((est_data <= cap) & (F.octet_length(no_norm) <= cap), no_norm)
+        doc = doc.otherwise(envelope)
         trimmed = ~full_fits | pre_trimmed
     return df.select(
         "conv_id",
@@ -97,7 +147,16 @@ _XML_ESCAPES = {**_XML_CONTROL,
                 ord('"'): "&quot;", ord("'"): "&apos;"}
 
 
+import re as _re
+
+_XML_NEEDS_ESCAPE = _re.compile(r"[&<>\"'\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
 def xml_escape_str(s: str) -> str:
+    # fast path: most strings need no escaping; one C-level regex scan beats
+    # an unconditional str.translate (measured ~2x on the render kernel)
+    if _XML_NEEDS_ESCAPE.search(s) is None:
+        return s
     return s.translate(_XML_ESCAPES)
 
 
@@ -128,20 +187,36 @@ def xml_from_doc(e: dict) -> str:
     data = e.get("data")
     if data is not None:
         parts.append("<data>")
-        if data.get("system") is not None:
-            parts.append(f"<system>{_fields_xml(data['system'])}</system>")
-        for role in ("user", "assistant", "tool_call", "tool_result"):
-            for item in data.get(role) or []:
-                parts.append(f"<{role}>{_fields_xml(item)}</{role}>")
-        if data.get("args") is not None:
-            parts.append(
-                "<args>" + "".join(f"<a>{xml_escape_str(a)}</a>" for a in data["args"]) + "</args>"
-            )
-        if data.get("tools") is not None:
-            parts.append(
-                "<tools>" + "".join(f"<t>{xml_escape_str(t)}</t>" for t in data["tools"]) + "</tools>"
-            )
+        # generalized over data keys in document order, so catch-all roles
+        # (unknown record types, disp_coll.c:191-228 analog) render too
+        for key, v in data.items():
+            if v is None:
+                continue
+            if key == "args":
+                parts.append(
+                    "<args>" + "".join(f"<a>{xml_escape_str(a)}</a>" for a in v) + "</args>"
+                )
+            elif key == "tools":
+                parts.append(
+                    "<tools>" + "".join(f"<t>{xml_escape_str(t)}</t>" for t in v) + "</tools>"
+                )
+            elif isinstance(v, dict):  # uniq-collected (system / catch-all)
+                parts.append(f"<{key}>{_fields_xml(v)}</{key}>")
+            else:  # rep / slot collected: one element per instance
+                for item in v:
+                    parts.append(f"<{key}>{_fields_xml(item)}</{key}>")
         parts.append("</data>")
+    norm = e.get("norm")
+    if norm is not None:
+        parts.append("<norm>")
+        for k, v in norm.items():
+            vals = v if isinstance(v, list) else [v]
+            parts.append(
+                f'<f name="{xml_escape_str(k)}">'
+                + "".join(f"<v>{xml_escape_str(str(x))}</v>" for x in vals)
+                + "</f>"
+            )
+        parts.append("</norm>")
     parts.append("</event>")
     return "".join(parts)
 

@@ -125,8 +125,31 @@ ALL_ERROR_CODES = [
     ERR_PARSE_FAIL,
 ]
 
-# Roles handled by each collector (the dispatch map, ref lib/conv_buf.c:60-96).
-UNIQ_ROLES = ["system"]
-REP_ROLES = ["user", "assistant", "tool_call"]
+# ------------------------------------------------------ collector registry ----
+# The dispatch map (ref lib/conv_buf.c:60-96): role -> collector kind. This is
+# the U1 plugin surface — adding a record type is a registry entry, not an
+# assemble_docs edit; both engines (Catalyst expr + Arrow/oracle) read it.
+# Roles NOT in the registry fall through to the catch-all uniq collector
+# (ref lib/conv_buf.c:86-90 wires disp_coll's default to uniq): they appear in
+# data{} under their lowercased name, and a repeat raises REPEATED_RECORD
+# (ref lib/disp_coll.c:191-228 -> uniq_coll.c).
+COLL_UNIQ = "uniq"    # at most one instance (lib/uniq_coll.c)
+COLL_REP = "rep"      # repeats collect into an array (lib/rep_coll.c)
+COLL_SLOT = "slot"    # item=N ordered slots (lib/path_coll.c)
+COLL_DROP = "drop"    # contributes nothing to data (lib/drop_coll.c)
+
+COLLECTORS: dict[str, str] = {
+    "system": COLL_UNIQ,
+    "user": COLL_REP,
+    "assistant": COLL_REP,
+    "tool_call": COLL_REP,
+    "tool_result": COLL_SLOT,
+    "EOE": COLL_DROP,
+}
+CATCH_ALL = COLL_UNIQ  # collector for unregistered roles
+
+# convenience views used across the engines
+UNIQ_ROLES = [r for r, c in COLLECTORS.items() if c == COLL_UNIQ]
+REP_ROLES = [r for r, c in COLLECTORS.items() if c == COLL_REP]
 SLOT_ROLE = "tool_result"
-DROP_ROLES = ["EOE"]
+DROP_ROLES = [r for r, c in COLLECTORS.items() if c == COLL_DROP]

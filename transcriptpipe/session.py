@@ -55,7 +55,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Scan-split size: the local bench reads a single ~300MB parquet file;
+        # at the cluster default (128MB) that is 3 scan splits, so the
+        # scan→parse→shuffle-write stage runs on 3 tasks NO MATTER how many
+        # cores the "cluster" has — it was the round-1 scaling-efficiency
+        # killer (a fixed serial stage at both N and 4N). 8MB keeps the scan
+        # parallelism ≥ cores for sandbox-sized inputs; at 100TB (thousands
+        # of files, millions of splits at any setting) raise it back via
+        # SPARK_GRAFT_MAX_PART_BYTES — split size trades task overhead, not
+        # parallelism, once the input dwarfs the cluster.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", str(8 * 1024 * 1024)))
         # collect_list aggregation (the A1 coalesce) runs in ObjectHashAggregate;
         # the default sort-based fallback threshold (128 keys/partition) forces
         # a full sort on any realistic key cardinality — measured 2-3x slower on

@@ -281,6 +281,31 @@ FROM events GROUP BY 1
 """
 
 
+def q_ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 cube/rollup: multi-dimensional subtotals over the event stream
+    (the ops-dashboard aggregation surface)."""
+    ev = _t(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value").isNull(), "na")
+        .when(F.col("value") >= 50, "hi")
+        .otherwise("lo")
+    )
+    return ev.cube("event_type", band.alias("value_band")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+SQL_EV_CUBE = """
+SELECT event_type,
+       CASE WHEN value IS NULL THEN 'na' WHEN value >= 50 THEN 'hi' ELSE 'lo' END
+           AS value_band,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events GROUP BY CUBE (event_type, value_band)
+"""
+
+
 # --------------------------------------------------------------------------
 # TPC-H-style relational queries (headline bench workload)
 # --------------------------------------------------------------------------
@@ -791,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_doc_assemble": q_ev_doc_assemble,
         "ev_repeated_guard": q_ev_repeated_guard,
         "ev_route_counts": q_ev_route_counts,
+        "ev_cube": q_ev_cube,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -823,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_doc_assemble": SQL_EV_DOC_ASSEMBLE,
         "ev_repeated_guard": SQL_EV_REPEATED_GUARD,
         "ev_route_counts": SQL_EV_ROUTE_COUNTS,
+        "ev_cube": SQL_EV_CUBE,
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,

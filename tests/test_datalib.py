@@ -168,3 +168,29 @@ def test_media_decode_deterministic(spark):
     a = {r["media_id"]: r["embedding"] for r in multimodal.decode_and_featurize_images(m).collect()}
     b = {r["media_id"]: r["embedding"] for r in multimodal.decode_and_featurize_images(m).collect()}
     assert a == b
+
+
+def test_capped_bucket_fallback_still_pairs_boilerplate(spark):
+    """A boilerplate group larger than max_bucket must still yield its
+    duplicate pairs (the exact full-signature fallback), star-connected to
+    one representative — not silently dropped."""
+    boiler = [(i, "the same boilerplate text repeated everywhere again") for i in range(12)]
+    distinct = [(100 + i, f"unique document number {i} with words alpha beta gamma delta {i}")
+                for i in range(6)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, max_bucket=5).collect()
+    got = {(r["a_id"], r["b_id"]) for r in pairs}
+    # star pattern: every boilerplate doc pairs with the min-id rep (0)
+    want = {(0, i) for i in range(1, 12)}
+    assert want <= got
+    # no within-boilerplate all-pairs explosion
+    boiler_pairs = {(a, b) for a, b in got if a < 100 and b < 100}
+    assert boiler_pairs == want
+
+
+def test_lsh_bucket_stats_reports_capped(spark):
+    boiler = [(i, "the same boilerplate text repeated everywhere again") for i in range(12)]
+    df = spark.createDataFrame(boiler, "doc_id long, text string")
+    stats = dedup.lsh_bucket_stats(df, max_bucket=5).collect()
+    assert all(r["n_capped_buckets"] >= 1 for r in stats)
+    assert all(r["max_bucket_size"] == 12 for r in stats)

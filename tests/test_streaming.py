@@ -70,3 +70,90 @@ def test_stream_incremental_restart(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == len(convs)
     assert sorted(r["conv_id"] for r in got.collect()) == convs
+
+
+def _write(pdf, path):
+    pdf.to_parquet(path, index=False)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST3: with a watermark, late rows (behind the watermark) are dropped
+    deterministically instead of re-opening state for an emitted conv."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    d = tmp_path / "in_wm"
+    d.mkdir()
+    out = str(tmp_path / "out_wm")
+    ckpt = str(tmp_path / "ckpt_wm")
+    t0 = datetime(2026, 3, 1)
+
+    def rows(conv, specs, base):
+        return pd.DataFrame([
+            {"conv_id": conv, "turn_idx": i, "role": role, "text": text,
+             "tool": None, "ts": base + timedelta(seconds=i)}
+            for i, (role, text) in enumerate(specs)
+        ]).astype({"turn_idx": "int32", "tool": "string", "ts": "datetime64[us]"})
+
+    # batch 1: conv W completes; clock conv advances event time by 2 hours
+    b1 = pd.concat([
+        rows("conv-00000010", [("system", "msg=a"), ("user", "msg=b"), ("EOE", "")], t0),
+        rows("conv-00000099", [("system", "msg=clock")], t0 + timedelta(hours=2)),
+    ])
+    _write(b1, d / "0.parquet")
+    _time.sleep(1.1)  # distinct mtime: file source processes oldest first
+    # batch 2: LATE duplicate of conv W (hours behind the watermark), with
+    # EOE — without the watermark this would emit a second doc for W
+    b2 = rows("conv-00000010", [("system", "msg=late"), ("EOE", "")], t0)
+    _write(b2, d / "1.parquet")
+
+    q = (
+        streaming.stream_coalesce(spark, str(d), ckpt, watermark="10 minutes",
+                                  event_time_gap_ms=60_000)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    docs_w = [r for r in got if r["conv_id"] == "conv-00000010"]
+    assert len(docs_w) == 1  # the late re-open was dropped
+    assert docs_w[0]["complete"]
+    assert docs_w[0]["n_turns"] == 3
+
+
+def test_state_cap_marks_trimmed(spark, tmp_path):
+    """Per-key state is bounded: rows past max_turns_per_conv are dropped
+    and the emitted doc is marked trimmed (EOE past the cap still completes
+    the conversation)."""
+    from datetime import datetime, timedelta
+
+    d = tmp_path / "in_cap"
+    d.mkdir()
+    out = str(tmp_path / "out_cap")
+    ckpt = str(tmp_path / "ckpt_cap")
+    t0 = datetime(2026, 3, 2)
+    rows = pd.DataFrame([
+        {"conv_id": "conv-00000042", "turn_idx": i, "role": ("system" if i == 0 else "user"),
+         "text": f"msg=m{i}", "tool": None, "ts": t0 + timedelta(seconds=i)}
+        for i in range(30)
+    ] + [{"conv_id": "conv-00000042", "turn_idx": 30, "role": "EOE", "text": "",
+          "tool": None, "ts": t0 + timedelta(seconds=30)}]).astype(
+        {"turn_idx": "int32", "tool": "string", "ts": "datetime64[us]"})
+    _write(rows, d / "0.parquet")
+
+    q = (
+        streaming.stream_coalesce(spark, str(d), ckpt, max_turns_per_conv=10)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1
+    assert got[0]["trimmed"] and got[0]["complete"]
+    assert got[0]["n_turns"] == 10

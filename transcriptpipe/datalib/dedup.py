@@ -77,16 +77,9 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", k: int = 8, bands: int = 4,
-                      max_bucket: int = 1000) -> DataFrame:
-    """Candidate near-duplicate pairs via LSH banding.
-
-    bands of size k/bands; a pair is a candidate if any band collides.
-    ``max_bucket`` caps pathological buckets (boilerplate) to bound the
-    within-bucket pair explosion at scale — capped buckets are dropped and
-    should be handled by an exact pass on their members.
-    """
+def _banded(df: DataFrame, id_col: str, text_col: str, k: int, bands: int
+            ) -> tuple[DataFrame, DataFrame]:
+    """(signature frame, banded frame (id, band_id, band))."""
     rows = k // bands
     sig = minhash_signature(df, id_col, text_col, k)
     band_cols = [
@@ -100,14 +93,72 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    grouped = banded.groupBy("band_id", "band").agg(
-        F.collect_list(id_col).alias("ids")
-    ).filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    return sig, banded
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 8, bands: int = 4,
+                      max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding.
+
+    bands of size k/bands; a pair is a candidate if any band collides.
+
+    ``max_bucket`` bounds the within-bucket pair explosion: buckets over the
+    cap (boilerplate) do NOT go through the all-pairs expansion — instead
+    their members take the exact fallback pass: group by FULL minhash
+    signature and pair each member with the group's min-id representative
+    (star pattern: n-1 pairs, transitively complete, no collect_list of the
+    hot bucket, no O(n²)). So duplicate sets inside hot buckets are still
+    reported — exactly on the highest-dup content — while the worst-case
+    cost stays linear in the bucket size. Members of a capped bucket whose
+    full signatures differ (merely similar, not near-identical) are the
+    accepted recall loss; bucket sizes are observable via lsh_bucket_stats.
+    """
+    sig, banded = _banded(df, id_col, text_col, k, bands)
+    sizes = banded.groupBy("band_id", "band").agg(F.count("*").alias("c"))
+    sized = banded.join(sizes, ["band_id", "band"])
+
+    # normal buckets: all-pairs within bucket (bounded by max_bucket)
+    grouped = (
+        sized.filter((F.col("c") > 1) & (F.col("c") <= max_bucket))
+        .groupBy("band_id", "band")
+        .agg(F.collect_list(id_col).alias("ids"))
+    )
     a = F.explode("ids").alias("a_id")
     pairs = grouped.select("band_id", "ids", a).select(
         "band_id", F.col("a_id"), F.explode("ids").alias("b_id")
-    ).filter(F.col("a_id") < F.col("b_id"))
-    return pairs.select("a_id", "b_id").dropDuplicates()
+    ).filter(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+
+    # capped buckets: exact pass on members — full-signature star pairs
+    hot_ids = (
+        sized.filter(F.col("c") > max_bucket).select(id_col).dropDuplicates()
+    )
+    sig_cols = [f"h{i}" for i in range(k)]
+    hot_sig = sig.join(hot_ids, id_col)
+    reps = hot_sig.groupBy(*sig_cols).agg(F.min(id_col).alias("_rep"))
+    star = (
+        hot_sig.join(reps, sig_cols)
+        .filter(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("a_id"), F.col(id_col).alias("b_id"))
+    )
+
+    return pairs.unionByName(star).dropDuplicates()
+
+
+def lsh_bucket_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: int = 8, bands: int = 4,
+                     max_bucket: int = 1000) -> DataFrame:
+    """Per-band bucket census incl. how many buckets/members exceeded
+    max_bucket (the fallback-path volume) — the observability side output."""
+    _, banded = _banded(df, id_col, text_col, k, bands)
+    sizes = banded.groupBy("band_id", "band").agg(F.count("*").alias("c"))
+    return sizes.groupBy("band_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias("n_collision_buckets"),
+        F.sum(F.when(F.col("c") > max_bucket, 1).otherwise(0)).alias("n_capped_buckets"),
+        F.sum(F.when(F.col("c") > max_bucket, F.col("c")).otherwise(0)).alias("n_capped_members"),
+        F.max("c").alias("max_bucket_size"),
+    )
 
 
 # ---------------------------------------------------------------- simhash --

@@ -247,18 +247,26 @@ def run(spark: SparkSession, transcripts: DataFrame, catalog, run_id: str,
 
 def metrics_frame(sinks: dict[str, DataFrame], run_id: str) -> DataFrame:
     """Per-sink aggregate counts (A6) as a dataframe aggregate — accumulators
-    are unreliable under task retries (SURVEY.md §4.2.4)."""
+    are unreliable under task retries (SURVEY.md §4.2.4).
+
+    ``n_convs_approx`` (A7) is the HLL++ sketch count — at 10^12 rows the
+    exact count_distinct pays a full shuffle of the distinct keys while the
+    sketch merges map-side; both are emitted so the exact column can be
+    dropped at scale."""
     parts = []
     for name, df in sinks.items():
+        has_conv = "conv_id" in df.columns
         agg = df.agg(
             F.count("*").alias("n_rows"),
-            F.count_distinct("conv_id").alias("n_convs"),
+            (F.count_distinct("conv_id") if has_conv else F.lit(None)).alias("n_convs"),
+            (F.approx_count_distinct("conv_id") if has_conv else F.lit(None)).alias("n_convs_approx"),
             (F.sum(F.octet_length("doc")) if "doc" in df.columns else F.lit(None)).alias("bytes_out"),
         ).select(
             F.lit(run_id).alias("run_id"),
             F.lit(name).alias("sink"),
             F.col("n_rows").cast("long"),
             F.col("n_convs").cast("long"),
+            F.col("n_convs_approx").cast("long"),
             F.col("bytes_out").cast("long"),
             F.date_format(F.current_timestamp(), render.TIME_FMT).alias("committed_at"),
         )
@@ -267,3 +275,16 @@ def metrics_frame(sinks: dict[str, DataFrame], run_id: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def error_rollup(error_sink: DataFrame) -> DataFrame:
+    """A7 cube: error counts by (error_code, has_turn) with all subtotal
+    combinations — the ops-dashboard view of the error sink."""
+    return (
+        error_sink.withColumn(
+            "level",
+            F.when(F.col("turn_idx").isNotNull(), "row").otherwise("conversation"),
+        )
+        .cube("error_code", "level")
+        .agg(F.count("*").alias("n"))
+    )

@@ -102,6 +102,7 @@ METRICS = T.StructType(
         T.StructField("sink", T.StringType(), False),
         T.StructField("n_rows", T.LongType(), False),
         T.StructField("n_convs", T.LongType(), True),
+        T.StructField("n_convs_approx", T.LongType(), True),
         T.StructField("bytes_out", T.LongType(), True),
         T.StructField("committed_at", T.StringType(), False),
     ]

@@ -21,10 +21,16 @@ Un-EOE'd conversations simply stay in the checkpointed state store and
 resume on the next run.
 
 Scale notes: state per key is one conversation's turns, bounded by
-max_turns_per_conv; the state store shuffles on conv_id exactly like the
-batch coalesce. Late rows for an already-emitted conversation start a new
-state entry (documented divergence: batch mode would have coalesced them —
-with a watermark on ts this becomes the standard late-data drop).
+max_turns_per_conv (rows past the cap are dropped in the stateful function
+and the doc marked trimmed — enforced, not just assumed); the state store
+shuffles on conv_id exactly like the batch coalesce.
+
+Late/out-of-order data (ST3): with ``watermark`` set, rows older than the
+watermark are dropped by the engine before the operator — an already-emitted
+conversation can no longer be re-opened by stragglers — and un-EOE'd
+conversations flush deterministically once the watermark passes their newest
+turn + gap (event-time timeout). Without a watermark (drain mode), batch
+order doesn't matter and incomplete conversations simply wait in state.
 """
 
 from __future__ import annotations
@@ -46,20 +52,24 @@ STREAM_DOC = T.StructType([
     T.StructField("doc", T.StringType(), False),
     T.StructField("error", T.StringType(), True),
     T.StructField("complete", T.BooleanType(), False),  # EOE seen vs timeout flush
+    T.StructField("trimmed", T.BooleanType(), False),   # state cap hit
 ])
 
-# state: accumulated raw turns, kept as parallel lists (Arrow-friendly)
+# state: accumulated raw turns, kept as parallel lists (Arrow-friendly);
+# `capped` is a 1-element flag list (rows beyond max_turns_per_conv dropped)
 STREAM_STATE = T.StructType([
     T.StructField("turn_idx", T.ArrayType(T.IntegerType()), True),
     T.StructField("role", T.ArrayType(T.StringType()), True),
     T.StructField("text", T.ArrayType(T.StringType()), True),
     T.StructField("tool", T.ArrayType(T.StringType()), True),
     T.StructField("ts_us", T.ArrayType(T.LongType()), True),
+    T.StructField("capped", T.ArrayType(T.BooleanType()), True),
 ])
 
 
-def _assemble(conv_id: str, rows: list[dict]) -> dict:
-    """One conversation -> doc row, via the shared single-process semantics."""
+def _assemble(conv_id: str, rows: list[dict]) -> dict | None:
+    """One conversation -> doc row, via the shared single-process semantics.
+    Returns None for empty events (P2, conv_buf.c:570-574)."""
     import json
     from datetime import datetime, timezone
 
@@ -69,6 +79,8 @@ def _assemble(conv_id: str, rows: list[dict]) -> dict:
         ).replace(tzinfo=None)
     turns = [oracle.parse_turn(r) for r in sorted(rows, key=lambda r: r["turn_idx"])]
     conv = oracle.coalesce_conv(turns)
+    if conv["n_records"] == 0 and conv["error"] is None:
+        return None
     doc = oracle.doc_object(conv)
     return {
         "conv_id": conv_id,
@@ -80,84 +92,139 @@ def _assemble(conv_id: str, rows: list[dict]) -> dict:
     }
 
 
-def _make_coalesce_fn(timeout_ms: int | None):
+def _make_coalesce_fn(timeout_ms: int | None, max_turns_per_conv: int = 2048,
+                      event_time_gap_ms: int | None = None):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
 
-        if state.hasTimedOut:
-            (ti, ro, te, to, ts) = state.get
-            state.remove()
+        def emit(ti, ro, te, to, ts, complete, capped):
             rows = [
                 {"conv_id": conv_id, "turn_idx": a, "role": b, "text": c,
                  "tool": d, "ts_us": e}
                 for a, b, c, d, e in zip(ti, ro, te, to, ts)
             ]
-            if rows:
-                out = _assemble(conv_id, rows)
-                out["complete"] = False
-                yield pd.DataFrame([out])
+            if not rows:
+                return
+            out = _assemble(conv_id, rows)
+            if out is None:  # P2 empty-event drop
+                return
+            out["complete"] = complete
+            out["trimmed"] = capped
+            yield pd.DataFrame([out])
+
+        if state.hasTimedOut:
+            (ti, ro, te, to, ts, cap) = state.get
+            state.remove()
+            yield from emit(ti, ro, te, to, ts, False, bool(cap and cap[0]))
             return
 
-        ti, ro, te, to, ts = (
-            ([], [], [], [], []) if not state.exists else [list(x) for x in state.get]
+        ti, ro, te, to, ts, cap = (
+            ([], [], [], [], [], [False])
+            if not state.exists
+            else [list(x) for x in state.get]
         )
+        capped = bool(cap and cap[0])
         saw_eoe = False
+        wm_ms = state.getCurrentWatermarkMs() if event_time_gap_ms is not None else 0
         for pdf in pdfs:
-            for _, r in pdf.iterrows():
-                ti.append(int(r["turn_idx"]))
-                ro.append(r["role"])
-                te.append(r["text"])
-                to.append(r["tool"] if pd.notna(r["tool"]) else None)
-                ts.append(int(pd.Timestamp(r["ts"]).value // 1000))
-                if r["role"] in schemas.DROP_ROLES:
-                    saw_eoe = True
+            if wm_ms > 0:
+                # ST3 late-data policy: the engine does NOT pre-filter late
+                # rows for applyInPandasWithState — the documented pattern is
+                # dropping rows behind the watermark here, so stragglers for
+                # an already-emitted conversation cannot re-open its state
+                ts_ms = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+                pdf = pdf[ts_ms >= wm_ms]
+                if len(pdf) == 0:
+                    continue
+            # vectorized accumulation (no per-row iterrows). EOE detection
+            # runs BEFORE the cap filter — a capped conversation must still
+            # complete when its (possibly beyond-cap) EOE marker arrives
+            if bool(pdf["role"].isin(schemas.DROP_ROLES).any()):
+                saw_eoe = True
+            keep = pdf["turn_idx"] < max_turns_per_conv
+            if not bool(keep.all()):
+                # state cap (max_event_size analog): rows beyond the cap are
+                # dropped and the eventual doc is marked trimmed, matching
+                # the batch path's cap_turns
+                capped = True
+                pdf = pdf[keep]
+            ti.extend(int(x) for x in pdf["turn_idx"].tolist())
+            ro.extend(pdf["role"].tolist())
+            te.extend(pdf["text"].tolist())
+            to.extend(None if pd.isna(x) else x for x in pdf["tool"].tolist())
+            ts.extend(
+                int(x) // 1000
+                for x in pdf["ts"].astype("datetime64[ns]").astype("int64").tolist()
+            )
 
         if saw_eoe:
             # event complete (the AUPARSE_CB_EVENT_READY moment): emit + clear
             if state.exists:
                 state.remove()
-            rows = [
-                {"conv_id": conv_id, "turn_idx": a, "role": b, "text": c,
-                 "tool": d, "ts_us": e}
-                for a, b, c, d, e in zip(ti, ro, te, to, ts)
-            ]
-            out = _assemble(conv_id, rows)
-            out["complete"] = True
-            yield pd.DataFrame([out])
-        else:
-            state.update((ti, ro, te, to, ts))
-            if timeout_ms:
+            yield from emit(ti, ro, te, to, ts, True, capped)
+        elif ti or state.exists:  # all-late batches must not open fresh state
+            state.update((ti, ro, te, to, ts, [capped]))
+            if event_time_gap_ms is not None:
+                # event-time flush: when the watermark passes the newest turn
+                # + gap, the conversation is assumed complete-without-EOE
+                # (must stay ahead of the current watermark or Spark rejects)
+                state.setTimeoutTimestamp(
+                    max(max(ts) // 1000 + event_time_gap_ms, wm_ms + 1)
+                )
+            elif timeout_ms:
                 state.setTimeoutDuration(timeout_ms)  # flush-on-idle analog
 
     return fn
 
 
 def stream_coalesce(spark: SparkSession, input_path: str,
-                    checkpoint: str, timeout_ms: int | None = None) -> DataFrame:
+                    checkpoint: str, timeout_ms: int | None = None,
+                    max_turns_per_conv: int = 2048,
+                    watermark: str | None = None,
+                    event_time_gap_ms: int = 60_000) -> DataFrame:
     """readStream(files) -> stateful EOE-driven coalesce. Returns the
     streaming DataFrame; caller attaches writeStream (see run_stream_once).
 
-    timeout_ms=None (drain mode / AvailableNow): incomplete conversations
-    wait in the state store for the next run. timeout_ms=N (continuous):
-    idle conversations flush as incomplete after N ms.
+    Modes (ST3 late/out-of-order policy):
+
+    * timeout_ms=None, watermark=None (drain / AvailableNow): incomplete
+      conversations wait in the state store for the next run.
+    * timeout_ms=N (continuous, processing time): idle conversations flush
+      as incomplete after N ms.
+    * watermark="10 minutes" (continuous, event time): rows later than the
+      watermark are DROPPED by the engine before reaching the operator (the
+      deterministic late-data policy — they no longer re-open state for
+      already-emitted conversations), and un-EOE'd conversations flush once
+      the watermark passes their newest turn + event_time_gap_ms.
+
+    Per-key state is bounded by ``max_turns_per_conv`` (rows past the cap
+    are dropped and the doc marked trimmed, like the batch cap_turns).
     """
     raw = (
         spark.readStream.schema(schemas.TRANSCRIPTS)
         .option("maxFilesPerTrigger", 1)
         .parquet(input_path)
     )
-    return raw.groupBy("conv_id").applyInPandasWithState(
-        _make_coalesce_fn(timeout_ms),
-        outputStructType=STREAM_DOC,
-        stateStructType=STREAM_STATE,
-        outputMode="append",
-        timeoutConf=(
+    if watermark is not None:
+        raw = raw.withWatermark("ts", watermark)
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+        fn = _make_coalesce_fn(None, max_turns_per_conv,
+                               event_time_gap_ms=event_time_gap_ms)
+    else:
+        timeout_conf = (
             GroupStateTimeout.ProcessingTimeTimeout
             if timeout_ms
             else GroupStateTimeout.NoTimeout
-        ),
+        )
+        fn = _make_coalesce_fn(timeout_ms, max_turns_per_conv)
+    return raw.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=STREAM_DOC,
+        stateStructType=STREAM_STATE,
+        outputMode="append",
+        timeoutConf=timeout_conf,
     )
 
 

@@ -589,6 +589,44 @@ FROM documents GROUP BY lang
 """
 
 
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID histogram (datalib.textstats.lang_id: stopword-profile
+    scores, argmax with (score, lang) lexicographic tie-break)."""
+    from transcriptpipe.datalib import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        textstats.lang_id(F.col("text")).alias("lang_detected")
+    ).agg(F.count("*").alias("n_docs"))
+
+
+def _sql_doc_langid() -> str:
+    from transcriptpipe.datalib.textstats import LANG_PROFILES
+
+    score = {
+        lang: (
+            f"CAST(len(list_filter(toks, x -> list_contains({prof!r}, x))) AS DOUBLE)"
+            f" / greatest(len(toks), 1)"
+        )
+        for lang, prof in LANG_PROFILES.items()
+    }
+    cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    g = "greatest(" + ", ".join(f"s_{la}" for la in score) + ")"
+    # tie-break mirrors Spark's array_max over struct(score, lang):
+    # max lang string wins on equal score
+    cases = " ".join(
+        f"WHEN s_{la} = {g} THEN '{la}'"
+        for la in sorted(score, reverse=True)
+    )
+    return f"""
+WITH t AS (SELECT regexp_split_to_array(lower(text), '\\s+') AS toks FROM documents),
+s AS (SELECT {cols} FROM t)
+SELECT CASE WHEN {g} = 0 THEN 'und' {cases} END AS lang_detected,
+       count(*) AS n_docs
+FROM s GROUP BY 1
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: content hash of normalized prefix + length."""
     d = _t(spark, sf_dir, "documents")
@@ -827,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_textstats": q_doc_textstats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_langid": q_doc_langid,
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_norm_stats": q_emb_norm_stats,
@@ -860,6 +899,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_textstats": SQL_DOC_TEXTSTATS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
+        "doc_langid": _sql_doc_langid(),
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,

@@ -1,0 +1,37 @@
+"""CLI entry point (src/aushape.c single-shot converter analog)."""
+
+from __future__ import annotations
+
+import json
+
+from transcriptpipe import synth
+from transcriptpipe.__main__ import main, parse_events_per_doc
+
+
+def test_parse_events_per_doc():
+    assert parse_events_per_doc("none") == 0
+    assert parse_events_per_doc("all") == "all"
+    assert parse_events_per_doc("50") == 50
+    assert parse_events_per_doc("-4096") == -4096
+
+
+def test_cli_batch_run(spark, tmp_path):
+    inp = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "wh")
+    synth.write_transcripts(inp, n_convs=25, seed=5)
+    rc = main([inp, "-O", out, "--events-per-doc", "10", "--with-norm",
+               "--run-id", "t1"])
+    assert rc == 0
+    from transcriptpipe.sinks import SinkCatalog
+
+    cat = SinkCatalog(out)
+    docs = cat.read(spark, "json_doc")
+    assert docs.count() == 25
+    assert "norm" in json.loads(docs.first()["doc"])
+    logs = cat.read(spark, "json_log")
+    assert sum(r["n_events"] for r in logs.collect()) == 25
+    # resume: second run with the same run_id writes nothing new
+    rc2 = main([inp, "-O", out, "--events-per-doc", "10", "--with-norm",
+                "--run-id", "t1"])
+    assert rc2 == 0
+    assert cat.read(spark, "json_doc").count() == 25

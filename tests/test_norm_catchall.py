@@ -147,3 +147,22 @@ def test_with_text_false_keeps_text_on_error(spark, mixed_df, engine):
     assert "text" in errored  # conv_buf.c:663-667: error keeps source text
     clean = json.loads(docs["conv-00000001"]["doc"])
     assert "text" not in clean
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_partial_text_trim_keeps_prefix(spark, mixed_df, engine):
+    """A doc slightly over budget keeps a PREFIX of text lines (per-line
+    trim, gbtree.c:468-553 analog) instead of losing all text."""
+    full_docs, _ = _docs(spark, mixed_df, engine)
+    full = json.loads(full_docs["conv-00000004"]["doc"])
+    full_len = len(full_docs["conv-00000004"]["doc"].encode())
+    cap = full_len - 10  # just under the full size
+    docs, _ = _docs(spark, mixed_df, engine, max_doc_bytes=cap)
+    d = docs["conv-00000004"]
+    assert d["trimmed"]
+    obj = json.loads(d["doc"])
+    assert obj["trimmed"] is True
+    assert "text" in obj and len(obj["text"]) > 0, "text fully dropped"
+    assert obj["text"] == full["text"][: len(obj["text"])]  # prefix
+    assert len(obj["text"]) < len(full["text"])
+    assert len(d["doc"].encode()) <= cap

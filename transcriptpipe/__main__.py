@@ -1,0 +1,109 @@
+"""CLI entry point — the spark-submit analog of the reference's single-shot
+converter (`aushape audit.log`, /root/reference/src/aushape.c:121-210;
+option surface /root/reference/lib/conf.c:31-81).
+
+    spark-submit --py-files transcriptpipe.zip -m ... OR
+    python -m transcriptpipe INPUT_PARQUET -O OUT_DIR [options]
+
+Option mapping (reference → here):
+
+    -l/--lang            → both sinks are always built; --lang selects which
+                           doc sink the run writes (json, xml, or both)
+    --events-per-doc     → none / all / N / -BYTES (format.h:52-59), adds the
+                           batched json_log/xml_log sinks when set
+    --max-event-size     → --max-doc-bytes (trim cap; format.h:60-63)
+    --with-text          → --no-text to disable (P5; default on, like -t)
+    --with-norm          → --with-norm (norm{} section)
+    --fold/--indent      → not implemented: presentation-only pretty-printing
+                           (documented divergence F8, SURVEY.md §2.8)
+    -o/--output/syslog   → sinks are parquet directories under --out; the
+                           output vtable analog is sinks.py/route.py
+    (new) --stream       → Structured Streaming drain over a file source
+    (new) --run-id       → resumable exactly-once run (snapshot manifest)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_events_per_doc(s: str):
+    if s == "none":
+        return 0
+    if s == "all":
+        return "all"
+    return int(s)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="transcriptpipe",
+        description="transcripts → coalesced event documents (aushape-analog "
+                    "pipeline on PySpark)",
+    )
+    p.add_argument("input", help="input transcripts parquet path")
+    p.add_argument("-O", "--out", required=True, help="output warehouse dir")
+    p.add_argument("-l", "--lang", choices=["json", "xml", "both"], default="both")
+    p.add_argument("--events-per-doc", default=None,
+                   help='"none", "all", N (count), or negative bytes budget')
+    p.add_argument("--max-doc-bytes", type=int, default=8192,
+                   help="trim cap per event doc (reference --max-event-size)")
+    p.add_argument("--max-turns-per-conv", type=int, default=2048)
+    p.add_argument("--no-text", action="store_true",
+                   help="exclude source text from docs (reference default; "
+                        "--with-text inverse)")
+    p.add_argument("--with-norm", action="store_true",
+                   help="include normalized summary section")
+    p.add_argument("--engine", choices=["arrow", "expr", "arrow_agg"],
+                   default="arrow")
+    p.add_argument("--run-id", default=None,
+                   help="resumable run id (default: derived from input)")
+    p.add_argument("--stream", action="store_true",
+                   help="drain the input dir via Structured Streaming instead "
+                        "of batch (EOE-driven stateful coalesce)")
+    p.add_argument("--watermark", default=None,
+                   help='streaming late-data watermark, e.g. "10 minutes"')
+    p.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from . import pipeline, sinks
+    from .session import get_spark
+
+    spark = get_spark(app_name="transcriptpipe-cli", cpus=args.cpus)
+
+    if args.stream:
+        from . import streaming
+
+        ckpt = f"{args.out}/_checkpoint"
+        streaming.run_stream_once(spark, args.input, f"{args.out}/json_doc",
+                                  ckpt)
+        print(f"streamed -> {args.out}/json_doc", file=sys.stderr)
+        return 0
+
+    conf = pipeline.PipeConf(
+        max_doc_bytes=args.max_doc_bytes,
+        max_turns_per_conv=args.max_turns_per_conv,
+        with_text=not args.no_text,
+        with_norm=args.with_norm,
+        engine=args.engine,
+        doc_batch=(parse_events_per_doc(args.events_per_doc)
+                   if args.events_per_doc is not None else None),
+    )
+    run_id = args.run_id or "cli-" + args.input.strip("/").replace("/", "_")[-40:]
+    catalog = sinks.SinkCatalog(args.out)
+    tdf = spark.read.parquet(args.input)
+    results = pipeline.run(spark, tdf, catalog, run_id, conf)
+    wanted = {"json": ["xml_doc", "xml_log"], "xml": ["json_doc", "json_log"]}
+    skip = set(wanted.get(args.lang, []))
+    for name, snap in results.items():
+        mark = "skipped(lang)" if name in skip else (snap or "already-committed")
+        print(f"{name}: {mark}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -115,13 +115,16 @@ def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
 
     last_obj: list = [None]
 
-    def dump(text: bool, norm: bool, data: bool, trimmed: bool) -> str:
+    def dump(text: bool, norm: bool, data: bool, trimmed: bool,
+             text_lines: int | None = None) -> str:
         # base text presence = with_text OR errored (conv_buf.c:663-667);
         # the trim cascade may then drop it (text is trimmed first)
         obj = oracle.doc_object(conv, with_text=with_text,
                                 with_norm=norm and with_norm)
         if not text:
             obj.pop("text", None)
+        elif text_lines is not None and "text" in obj:
+            obj["text"] = obj["text"][:text_lines]
         if not data:
             obj.pop("data", None)
         if trimmed:
@@ -133,15 +136,24 @@ def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
     trimmed = bool(turn_capped)
     doc = full
     if max_doc_bytes is not None and len(full.encode("utf-8")) > max_doc_bytes:
-        # priority trim (ref lib/gbtree.c:555-606 drop order: text first,
-        # then norm, then the data section)
+        # priority trim (ref lib/gbtree.c:555-606 drop order): text lines
+        # from the END first (line number = node priority, so a doc slightly
+        # over budget keeps a text prefix — the proportional-trim analog of
+        # gbtree.c:468-553), then the whole text member, then norm, then data
         trimmed = True
-        doc = full
-        for variant in ((False, True, True), (False, False, True),
-                        (False, False, False)):
-            doc = dump(*variant, True)
-            if len(doc.encode("utf-8")) <= max_doc_bytes:
-                break
+        k = oracle.max_text_lines(
+            conv["texts"],
+            max_doc_bytes - len(dump(False, True, True, True).encode("utf-8")),
+        ) if (with_text or conv["error"]) else 0
+        if k > 0:
+            doc = dump(True, True, True, True, text_lines=k)
+        else:
+            doc = full
+            for variant in ((False, True, True), (False, False, True),
+                            (False, False, False)):
+                doc = dump(*variant, True)
+                if len(doc.encode("utf-8")) <= max_doc_bytes:
+                    break
 
     xml = render.xml_from_doc(last_obj[0])
     return {

@@ -303,6 +303,26 @@ def coalesce_conv(turns: list[ParsedTurn]) -> dict:
     }
 
 
+def max_text_lines(texts: list, budget: int) -> int:
+    """Largest k such that inserting ``"text":[first k lines]`` into a doc
+    costs <= ``budget`` extra bytes (budget = cap - bytes of the doc without
+    the text member). Member cost = 1 comma + '"text":[' + lines joined by
+    commas + ']' = 9 + sum(escaped_len_i + 1). Shared by the Arrow engine
+    and mirrored in Catalyst (render._partial_text_k) — the per-line
+    proportional trim (ref lib/gbtree.c:468-553: text lines are the
+    non-atomic children dropped individually, last line first)."""
+    used, k = 9, 0
+    for line in texts:
+        esc = 4 if line is None else len(
+            json.dumps(line, ensure_ascii=False).encode("utf-8")
+        )
+        if used + esc + 1 > budget:
+            break
+        used += esc + 1
+        k += 1
+    return k
+
+
 def iso_time(ts) -> str:
     # mirrors date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX") under UTC
     return ts.strftime("%Y-%m-%dT%H:%M:%S.") + f"{ts.microsecond // 1000:03d}Z"

@@ -44,15 +44,22 @@ def _member(col: Column, name: str) -> Column:
 
 
 def _doc_json(text_on: Column, norm_on: bool, data_on: bool,
-              trimmed_attr: bool, with_norm: bool) -> Column:
+              trimmed_attr: bool, with_norm: bool,
+              text_limit: Column | None = None) -> Column:
     """Assemble the event doc JSON from member pieces. Member order mirrors
     oracle.doc_object: serial, time, text?, data?(+catch-all), norm?, error?,
     trimmed?. The catch-all ``extra`` map splices into the end of the data
     object (unknown record types appear in data{} under their lowercased
-    name, ref lib/conv_buf.c:86-90)."""
+    name, ref lib/conv_buf.c:86-90). ``text_limit`` keeps only the first k
+    text lines (the per-line trim)."""
     m_serial = F.coalesce(_member(F.col("serial"), "serial"), F.lit('"serial":null'))
     m_time = _member(F.col("time"), "time")
-    m_text = F.when(text_on, _member(F.col("texts"), "text"))
+    texts_col = (
+        F.slice(F.col("texts"), F.lit(1), text_limit)
+        if text_limit is not None
+        else F.col("texts")
+    )
+    m_text = F.when(text_on, _member(texts_col, "text"))
 
     data_json = _member(F.col("data"), "data")
     extra_body = F.to_json(F.col("extra"))
@@ -106,6 +113,28 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
         doc, trimmed = full, pre_trimmed
     else:
         cap = F.lit(max_doc_bytes)
+        # per-line text trim (gbtree.c:468-553 analog; mirrors
+        # oracle.max_text_lines byte-for-byte): k = max prefix of text lines
+        # such that inserting the member into the no_text doc stays <= cap
+        line_costs = F.transform(
+            F.col("texts"),
+            lambda t: F.octet_length(F.to_json(F.array(t))) - 2 + 1,
+        )
+        prefix = F.aggregate(
+            line_costs,
+            F.array().cast("array<long>"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long"))
+                    + x
+                ),
+            ),
+        )
+        text_budget = cap - F.octet_length(no_text)
+        partial_k = F.size(F.filter(prefix, lambda p: p + 9 <= text_budget))
+        partial = _doc_json(text_on, True, True, True, with_norm,
+                            text_limit=partial_k)
         # strict lower bounds computed upstream (raw text / field-value bytes
         # can only inflate under JSON syntax+escaping), so an oversized doc is
         # detected WITHOUT rendering it — inverting aushape's format-then-cut
@@ -123,6 +152,8 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
         # then the data section
         doc = (
             F.when(full_fits, full)
+            .when(text_on & (partial_k > 0)
+                  & (F.octet_length(no_text) <= cap), partial)
             .when((est_data <= cap) & (F.octet_length(no_text) <= cap), no_text)
         )
         if with_norm:

@@ -281,6 +281,49 @@ FROM events GROUP BY 1
 """
 
 
+# deterministic as-of dimension: per segment (user_id % 3), a rate that
+# changes weekly across the events table's Jan-2024 range
+ASOF_RATES = [
+    (seg, f"2024-01-{day:02d} 00:00:00", float(seg * 100 + day))
+    for seg in range(3)
+    for day in (1, 8, 15, 22, 29)
+]
+
+
+def q_ev_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bonus operator (datalib.asof): as-of join events to the latest
+    preceding rate row per segment — union-fill plan, ONE shuffle, no range
+    explosion — then aggregate per matched rate."""
+    from transcriptpipe.datalib import asof
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 3).alias("segment"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    rates = spark.createDataFrame(ASOF_RATES, ["segment", "ts", "rate"]).select(
+        "segment", F.col("ts").cast("timestamp").alias("ts"), "rate"
+    )
+    j = asof.asof_join(ev, rates, on="segment", ts="ts")
+    return j.groupBy("segment", "r_rate").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def _sql_ev_asof() -> str:
+    vals = ", ".join(f"({s}, TIMESTAMP '{t}', {r})" for s, t, r in ASOF_RATES)
+    return f"""
+WITH rates(segment, ts, rate) AS (VALUES {vals}),
+ev AS (SELECT user_id % 3 AS segment, ts, event_id FROM events)
+SELECT ev.segment AS segment, r.rate AS r_rate,
+       count(*) AS n_events, min(event_id) AS first_event
+FROM ev ASOF LEFT JOIN rates r
+  ON ev.segment = r.segment AND ev.ts >= r.ts
+GROUP BY 1, 2
+"""
+
+
 def q_ev_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 cube/rollup: multi-dimensional subtotals over the event stream
     (the ops-dashboard aggregation surface)."""
@@ -714,6 +757,36 @@ SELECT {_hyperplane_sql(4, 64, 42)} AS bucket, count(*) AS n_vecs
 FROM e GROUP BY 1
 """
 
+def q_emb_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer cell census (the ANN index's partition stats);
+    cells assigned by argmin squared distance to deterministic centroids."""
+    from transcriptpipe.datalib import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_cells(e).withColumn("cell", F.col("cell").cast("long"))
+
+
+def _sql_emb_ivf_cells(k: int = 8, dim: int = 64, seed: int = 7) -> str:
+    from transcriptpipe.datalib.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed)
+    d_cols = []
+    for j, c in enumerate(cents):
+        arr = "[" + ", ".join(repr(float(x)) for x in c) + "]"
+        d_cols.append(
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> (ve[i] - ({arr})[i]) * (ve[i] - ({arr})[i]))), 6) AS d{j}"
+        )
+    best = "least(" + ", ".join(f"d{j}" for j in range(k)) + ")"
+    cases = " ".join(f"WHEN d{j} = {best} THEN {j}" for j in range(k))
+    return f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS ve FROM embeddings),
+d AS (SELECT {", ".join(d_cols)} FROM e)
+SELECT CAST(CASE {cases} END AS BIGINT) AS cell, count(*) AS n_vecs
+FROM d GROUP BY 1
+"""
+
+
 def q_emb_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k against a fixed query vector (vec_id=0).
     The scale path is LSH-bucketed (datalib.similarity); this is the oracle-
@@ -855,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_repeated_guard": q_ev_repeated_guard,
         "ev_route_counts": q_ev_route_counts,
         "ev_cube": q_ev_cube,
+        "ev_asof": q_ev_asof,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -868,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
+        "emb_ivf_cells": q_emb_ivf_cells,
         "emb_norm_stats": q_emb_norm_stats,
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
@@ -889,6 +964,7 @@ def oracle_sql() -> dict[str, str]:
         "ev_repeated_guard": SQL_EV_REPEATED_GUARD,
         "ev_route_counts": SQL_EV_ROUTE_COUNTS,
         "ev_cube": SQL_EV_CUBE,
+        "ev_asof": _sql_ev_asof(),
         "tpch_q1": SQL_TPCH_Q1,
         "tpch_q3": SQL_TPCH_Q3,
         "tpch_q5": SQL_TPCH_Q5,
@@ -902,6 +978,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": _sql_doc_langid(),
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
+        "emb_ivf_cells": _sql_emb_ivf_cells(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         # transcript_docs / transcript_errors / transcript_xml: rows-only
         # (verified against the single-process oracle in tests/)

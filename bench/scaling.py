@@ -184,6 +184,15 @@ transparency; the per-operator plans contain no serial stage (scan splits
 = 8 MB, shuffle partitions scale with cores, no collect/driver loops), so
 on independent executors throughput scales with the 2→8 slope.
 
+## Engine comparison (measured 2026-08-16, 1.1M turns, local[32])
+
+json_doc sink, noop writer, warm JVM, 2 runs each:
+
+| engine | runs (sec) | notes |
+|---|---|---|
+| arrow (default) | 7.5, 5.4 | sorted-stream shuffle + ONE vectorized Arrow pass (assemble+trim+render) |
+| expr (all-JVM)  | 60.0, 59.9 | Catalyst higher-order-function lambdas run in the interpreted evaluator (no codegen for HOFs) — kept as the semantics/verification path, byte-equal to arrow by test |
+
 ## Reference comparison
 
 The reference (Scribery/aushape) publishes no benchmark numbers

@@ -194,3 +194,23 @@ def test_lsh_bucket_stats_reports_capped(spark):
     stats = dedup.lsh_bucket_stats(df, max_bucket=5).collect()
     assert all(r["n_capped_buckets"] >= 1 for r in stats)
     assert all(r["max_bucket_size"] == 12 for r in stats)
+
+
+def test_ivf_topk_recall_and_exactness_limit(spark, embs):
+    """IVF-flat search: nprobe=all cells == brute force; small nprobe keeps
+    reasonable recall on its probed cells."""
+    q = [r for r in embs.filter(F.col("vec_id") == 1).collect()][0]["embedding"]
+    q = [float(x) for x in q]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(embs, q, k=10).collect()]
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(embs, q, k=10, n_cells=8, nprobe=8).collect()]
+    assert full == exact  # nprobe = n_cells recovers brute force
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(embs, q, k=10, n_cells=8, nprobe=3).collect()]
+    assert len(set(approx) & set(exact)) >= 3  # partial recall on 3/8 cells
+
+
+def test_ivf_cells_partition_everything(spark, embs):
+    cells = similarity.ivf_cells(embs).collect()
+    assert sum(r["n_vecs"] for r in cells) == embs.count()
+    assert all(0 <= r["cell"] <= 7 for r in cells)

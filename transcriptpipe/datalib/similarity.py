@@ -129,3 +129,76 @@ def score_batch_pandas(df: DataFrame, query: list[float],
         )
 
     return df.select(id_col, cos(F.col(vec_col)).alias("cos_sim"))
+
+
+# -------------------------------------------------------------------- IVF --
+
+def ivf_centroids(dim: int = 64, k: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids (seeded RNG, unit-normalized).
+
+    Random centroids give a reproducible, oracle-checkable Voronoi
+    partition; at production scale they'd be kmeans-trained on a sample
+    (FAISS-style) — training is a drop-in replacement for these constants,
+    the cell-assignment and nprobe-search plans below are unchanged."""
+    import numpy as np
+
+    c = np.random.default_rng(seed).standard_normal((k, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _sq_dist(v: Column, c: list[float]) -> Column:
+    return F.round(
+        F.aggregate(
+            F.zip_with(v, _lit_vec(c), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ),
+        6,  # rounded so argmin ties resolve identically across engines
+    )
+
+
+def cell_of(vec_col, centroids: list[list[float]]) -> Column:
+    """IVF cell = argmin_j ||v - c_j||^2 (rounded; smallest index wins ties).
+    Pure Catalyst expressions — runs in the scan, usable as a partition
+    column so nprobe search prunes files."""
+    v = _as_double(vec_col)
+    scored = F.array(*[
+        F.struct(_sq_dist(v, c).alias("d"), F.lit(j).alias("j"))
+        for j, c in enumerate(centroids)
+    ])
+    return F.array_min(scored)["j"]
+
+
+def ivf_cells(df: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", k: int = 8, seed: int = 7,
+              dim: int = 64) -> DataFrame:
+    """Per-cell census (the IVF index statistics)."""
+    cents = ivf_centroids(dim, k, seed)
+    return (
+        df.select(cell_of(F.col(vec_col), cents).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+def ivf_topk(df: DataFrame, query: list[float], k: int = 10,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_cells: int = 8, seed: int = 7, nprobe: int = 2) -> DataFrame:
+    """Approximate top-k: scan only the ``nprobe`` cells whose centroids are
+    nearest the query (IVF-flat search). Exactness is recovered as
+    nprobe -> n_cells."""
+    cents = ivf_centroids(len(query), n_cells, seed)
+    dists = sorted(
+        (sum((x - y) ** 2 for x, y in zip(query, c)), j)
+        for j, c in enumerate(cents)
+    )
+    probes = [j for _, j in dists[:nprobe]]
+    cand = df.withColumn("_cell", cell_of(F.col(vec_col), cents)).filter(
+        F.col("_cell").isin(probes)
+    )
+    return (
+        cand.select(id_col,
+                    F.round(cosine_to(F.col(vec_col), query), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
+    )

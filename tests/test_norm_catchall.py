@@ -166,3 +166,26 @@ def test_partial_text_trim_keeps_prefix(spark, mixed_df, engine):
     assert obj["text"] == full["text"][: len(obj["text"])]  # prefix
     assert len(obj["text"]) < len(full["text"])
     assert len(d["doc"].encode()) <= cap
+
+
+def test_prettify_passes(spark, mixed_df):
+    """F8 fold/indent: pretty output parses to the same object; XML folds to
+    one element per line and stays well-formed."""
+    import xml.etree.ElementTree as ET
+
+    from transcriptpipe import render
+
+    sinks = pipeline.build(spark, mixed_df,
+                           pipeline.PipeConf(persist=False, with_norm=True))
+    compact = {r["conv_id"]: r["doc"] for r in sinks["json_doc"].collect()}
+    pretty = {r["conv_id"]: r["doc"]
+              for r in render.prettify_json(sinks["json_doc"], indent=2).collect()}
+    for cid, c in compact.items():
+        p = pretty[cid]
+        assert "\n" in p and p != c
+        assert json.loads(p) == json.loads(c)
+    pxml = {r["conv_id"]: r["doc"]
+            for r in render.prettify_xml(sinks["xml_doc"]).collect()}
+    for cid, x in pxml.items():
+        assert "\n" in x
+        ET.fromstring(x)

@@ -101,11 +101,15 @@ def decode_and_featurize_images(df: DataFrame, use_real_codecs: bool = False,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            # column extraction once per batch (no per-row iterrows); the
+            # per-item loop remains because the (real) codec is per-item
+            for media_id, meta, payload in zip(
+                pdf["media_id"].tolist(), pdf["meta"].tolist(),
+                pdf["payload"].tolist(),
+            ):
                 w = int(meta["width"] or 32)
                 h = int(meta["height"] or 32)
-                img = _fake_decode_image(row["payload"], w, h)
+                img = _fake_decode_image(payload, w, h)
                 luma = float(
                     (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]).mean()
                 )
@@ -113,7 +117,7 @@ def decode_and_featurize_images(df: DataFrame, use_real_codecs: bool = False,
                 # for a model forward pass, deterministic per payload
                 hist = np.histogram(img, bins=embed_dim, range=(0, 256))[0]
                 emb = (hist / max(hist.sum(), 1)).astype(np.float32)
-                out.append((row["media_id"], w, h, round(luma, 4), emb.tolist()))
+                out.append((media_id, w, h, round(luma, 4), emb.tolist()))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "mean_luma", "embedding"]
             )

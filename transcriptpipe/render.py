@@ -263,3 +263,51 @@ def _json_to_xml(doc_json: pd.Series) -> pd.Series:
 def render_xml(json_docs: DataFrame) -> DataFrame:
     """JSON_DOC frame → XML_DOC frame (same envelope, doc column is XML)."""
     return json_docs.withColumn("doc", _json_to_xml("doc"))
+
+
+# ------------------------------------------------------ pretty-print (F8) --
+
+def prettify_json(json_docs: DataFrame, indent: int = 2) -> DataFrame:
+    """F8 fold/indent analog (reference --fold/--indent, lib/gbuf.c space
+    helpers): re-render the doc column fully unfolded with `indent` spaces
+    per nesting level. A presentation-only pass over the sink (canonical
+    compact form stays the comparison target); fold levels between 0
+    (compact, the default output) and full unfold are not implemented —
+    documented divergence, SURVEY.md §2.8."""
+
+    @pandas_udf(T.StringType())
+    def pretty(doc: pd.Series) -> pd.Series:
+        import json
+
+        return doc.map(lambda j: json.dumps(json.loads(j), ensure_ascii=False,
+                                            indent=indent))
+
+    return json_docs.withColumn("doc", pretty("doc"))
+
+
+@pandas_udf(T.StringType())
+def _pretty_xml(doc: pd.Series) -> pd.Series:
+    import re as _re2
+
+    def fold(x: str) -> str:
+        # newline between sibling elements; indent by depth
+        out, depth = [], 0
+        for tok in _re2.split(r"(<[^>]+>)", x):
+            if not tok:
+                continue
+            if tok.startswith("</"):
+                depth -= 1
+                out.append("\n" + "  " * depth + tok)
+            elif tok.startswith("<") and not tok.endswith("/>") and "</" not in tok:
+                out.append("\n" + "  " * depth + tok)
+                depth += 1
+            else:
+                out.append(tok)
+        return "".join(out).lstrip("\n")
+
+    return doc.map(fold)
+
+
+def prettify_xml(xml_docs: DataFrame) -> DataFrame:
+    """XML fold: one element per line, two-space nesting indent."""
+    return xml_docs.withColumn("doc", _pretty_xml("doc"))

@@ -129,3 +129,47 @@ def test_catch_all_single_instance_ok_repeat_errors(role):
     d2 = json.loads(_doc(two))
     assert d2["error"] == schemas.ERR_REPEATED_RECORD
     assert "data" not in d2
+
+
+@given(
+    docs=st.lists(st.text(alphabet="abcdef0123456789", min_size=1, max_size=40),
+                  min_size=1, max_size=30),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_pack_greedy_properties(docs, budget):
+    """Byte-budget packing (conv.c:122-155 counter semantics): order
+    preserved, nothing dropped or split, every doc except the last closed at
+    >= budget accumulated bytes."""
+    from transcriptpipe.docbatch import pack_greedy
+
+    groups = pack_greedy(docs, budget, sep_len=1)
+    flat = [i for g in groups for i in g]
+    assert flat == list(range(len(docs)))  # order, completeness, no split
+    for g in groups[:-1]:
+        acc = sum(len(docs[i].encode()) for i in g) + (len(g) - 1)
+        assert acc >= budget
+
+
+@given(
+    texts=st.lists(st.one_of(st.none(), st.text(max_size=30)), min_size=0,
+                   max_size=12),
+    budget=st.integers(min_value=0, max_value=400),
+)
+@settings(max_examples=80, deadline=None)
+def test_max_text_lines_is_tight(texts, budget):
+    """The per-line trim keeps the maximal prefix: k lines fit the budget,
+    k+1 would not (exact member-cost arithmetic)."""
+    k = oracle.max_text_lines(texts, budget)
+
+    def cost(n):
+        return 9 + sum(
+            (4 if t is None else len(json.dumps(t, ensure_ascii=False).encode()))
+            + 1
+            for t in texts[:n]
+        )
+
+    if k > 0:
+        assert cost(k) <= budget
+    if k < len(texts):
+        assert cost(k + 1) > budget

@@ -874,6 +874,27 @@ def q_transcript_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.build(spark, _synth_df(spark))["xml_doc"]
 
 
+def q_transcript_docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline with the normalization section (--with-norm analog) enabled;
+    rows-only (norm content pinned against the Python oracle in tests/)."""
+    from transcriptpipe import pipeline
+
+    return pipeline.build(
+        spark, _synth_df(spark), pipeline.PipeConf(with_norm=True)
+    )["json_doc"]
+
+
+def q_transcript_log_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-event log documents (S6 count mode) built from the transcript
+    pipeline's json_doc sink; rows-only (docbatch oracle-checked separately
+    via ev_doc_assemble on the events table)."""
+    from transcriptpipe import pipeline
+
+    return pipeline.build(
+        spark, _synth_df(spark), pipeline.PipeConf(doc_batch=10)
+    )["json_log"]
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -947,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
         "transcript_xml": q_transcript_xml,
+        "transcript_docs_norm": q_transcript_docs_norm,
+        "transcript_log_batch": q_transcript_log_batch,
     }
 
 

@@ -189,3 +189,32 @@ def test_prettify_passes(spark, mixed_df):
     for cid, x in pxml.items():
         assert "\n" in x
         ET.fromstring(x)
+
+
+@pytest.mark.parametrize("engine", ["arrow", "expr"])
+def test_hot_conversation_cap_batch(spark, engine):
+    """Skew defense: a hot conversation is capped at max_turns_per_conv by a
+    NARROW filter (turn_idx is the position), marked trimmed, and cannot
+    blow up per-group state — the batch analog of the streaming state cap."""
+    import pandas as pd
+
+    rows = [
+        {"conv_id": "conv-00000077", "turn_idx": i,
+         "role": "system" if i == 0 else "user",
+         "text": f"msg=m{i} seq={i}", "tool": None,
+         "ts": BASE + timedelta(seconds=i)}
+        for i in range(50)
+    ]
+    pdf = pd.DataFrame(rows).astype(
+        {"turn_idx": "int32", "tool": "string", "ts": "datetime64[us]"})
+    df = spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
+    conf = pipeline.PipeConf(engine=engine, persist=False, max_turns_per_conv=16)
+    sinks = pipeline.build(spark, df, conf)
+    d = sinks["json_doc"].collect()
+    assert len(d) == 1
+    assert d[0]["n_turns"] == 16 and d[0]["trimmed"]
+    obj = json.loads(d[0]["doc"])
+    assert len(obj["text"]) == 16
+    # oracle agrees
+    out = oracle.run_pipeline([r for r in rows], max_turns_per_conv=16)
+    assert out["json_doc"][0]["n_turns"] == 16 and out["json_doc"][0]["trimmed"]

@@ -824,6 +824,33 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
 
+def q_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: hyperplane-LSH bucket join + exact
+    cosine within buckets (datalib.dedup.embedding_near_dups) — never
+    all-pairs. Threshold lowered to 0.25 for the synthetic table (random
+    vectors carry no planted dups; the operator is the same)."""
+    from transcriptpipe.datalib import dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dups(e, threshold=0.25, planes=8, seed=42)
+
+
+def _sql_emb_near_dups(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    bucket = _hyperplane_sql(planes, dim, seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+b AS (SELECT vec_id, ve, {bucket} AS bucket FROM e)
+SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       round(list_sum(list_transform(range(1, {dim + 1}), i -> a.ve[i] * c.ve[i]))
+             / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.ve, x -> x * x)))), 4) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_sum(list_transform(range(1, {dim + 1}), i -> a.ve[i] * c.ve[i]))
+            / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+               * sqrt(list_sum(list_transform(c.ve, x -> x * x)))), 4) >= 0.25
+"""
+
+
 def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics (vector math via aggregate())."""
     e = _t(spark, sf_dir, "embeddings")
@@ -964,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_ivf_cells": q_emb_ivf_cells,
+        "emb_near_dups": q_emb_near_dups,
         "emb_norm_stats": q_emb_norm_stats,
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
@@ -1002,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_ivf_cells": _sql_emb_ivf_cells(),
+        "emb_near_dups": _sql_emb_near_dups(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         # transcript_docs / transcript_errors / transcript_xml: rows-only
         # (verified against the single-process oracle in tests/)

@@ -157,3 +157,48 @@ def test_state_cap_marks_trimmed(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["trimmed"] and got[0]["complete"]
     assert got[0]["n_turns"] == 10
+
+
+def test_processing_time_flush_incomplete(spark, tmp_path):
+    """Continuous mode: a conversation that never sees EOE flushes as
+    incomplete after the idle timeout (auparse flush analog)."""
+    import time
+    from datetime import datetime, timedelta
+
+    d = tmp_path / "in_pt"
+    d.mkdir()
+    out = str(tmp_path / "out_pt")
+    ckpt = str(tmp_path / "ckpt_pt")
+    t0 = datetime(2026, 3, 3)
+    rows = pd.DataFrame([
+        {"conv_id": "conv-00000055", "turn_idx": i,
+         "role": "system" if i == 0 else "user", "text": f"msg=m{i}",
+         "tool": None, "ts": t0 + timedelta(seconds=i)}
+        for i in range(4)  # no EOE
+    ]).astype({"turn_idx": "int32", "tool": "string", "ts": "datetime64[us]"})
+    rows.to_parquet(d / "0.parquet", index=False)
+
+    q = (
+        streaming.stream_coalesce(spark, str(d), ckpt, timeout_ms=1000)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        got = []
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                got = spark.read.parquet(out).collect()
+            except Exception:
+                got = []
+            if got:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(got) == 1
+    assert not got[0]["complete"]  # timeout flush, not EOE
+    assert got[0]["n_turns"] == 4

@@ -174,7 +174,8 @@ def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
 
 def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                        events_per_doc: int = 100, with_text: bool = True,
-                       with_norm: bool = False) -> DataFrame:
+                       with_norm: bool = False,
+                       max_turns_per_conv: int | None = None) -> DataFrame:
     """Sorted-stream coalesce+render: repartition by conv_id, Tungsten
     sortWithinPartitions (binary, spillable — no per-group JVM objects at
     all), then ONE mapInPandas pass that groups consecutive rows per
@@ -184,13 +185,22 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
 
     This is the 10^12-row shape: the exchange carries flat rows, the sort
     spills, and per-task state is exactly one in-flight conversation
-    (bounded by the upstream turn cap). Conversations spanning Arrow batch
+    (bounded by the turn cap). Conversations spanning Arrow batch
     boundaries are carried between batches inside the task.
+
+    Turn capping (max_event_size analog): pass ``max_turns_per_conv`` and
+    the cap is enforced IN THIS PASS — rows are consecutive per conversation
+    after the sort, so beyond-cap rows are dropped and the doc marked
+    trimmed locally, with NO pre-aggregation scan / shuffle / broadcast
+    (pipeline.cap_turns exists for the expr engine, whose grouped
+    collect_list needs the bound upstream). Alternatively a precomputed
+    boolean ``turn_capped`` column is honored.
 
     Expects columns: conv_id, turn_idx, role_name, text, tool, tool_name,
     ts, and optionally turn_capped.
     """
     has_cap = "turn_capped" in enriched.columns
+    cap = max_turns_per_conv
     cols = ["conv_id", "turn_idx", "role_name", "text", "tool", "tool_name", "ts"]
     if has_cap:
         cols.append("turn_capped")
@@ -207,17 +217,19 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry_key: str | None = None
-        carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name, ts, cap)]
+        carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name, ts, cap_col)]
+        carry_capped = False
         out: list[dict] = []
 
-        def flush(key: str, rows: list[tuple]) -> None:
+        def flush(key: str, rows: list[tuple], capped: bool) -> None:
+            if rows[0][6] is not None:  # precomputed turn_capped column
+                capped = capped or bool(rows[0][6])
             turns = [
                 {"turn_idx": r[0], "role_name": r[1], "text": r[2],
                  "tool": r[3], "tool_name": r[4]}
                 for r in rows
             ]
             min_ts = min(r[5] for r in rows)
-            capped = bool(rows[0][6]) if rows[0][6] is not None else False
             rec = _render_one(key, turns, min_ts, capped,
                               max_doc_bytes, events_per_doc, with_text,
                               with_norm)
@@ -225,6 +237,16 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 out.append(rec)
 
         for pdf in batches:
+            # in-pass turn cap: drop beyond-cap rows vectorized, remember
+            # which conversations lost rows (bounds per-task carry state)
+            capped_ids: set = set()
+            if cap is not None:
+                over = pdf["turn_idx"] >= cap
+                if bool(over.any()):
+                    capped_ids = set(pdf["conv_id"][over].tolist())
+                    pdf = pdf[~over]
+                if carry_key is not None and carry_key in capped_ids:
+                    carry_capped = True
             ids = pdf["conv_id"].to_numpy()
             data = list(zip(
                 pdf["turn_idx"].to_numpy().tolist(),
@@ -243,21 +265,25 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 while j < n and ids[j] == key:
                     j += 1
                 rows = data[i:j]
+                kc = key in capped_ids
                 if carry_key is not None and key == carry_key:
                     rows = carry + rows
+                    kc = kc or carry_capped
                 elif carry_key is not None:
-                    flush(carry_key, carry)
+                    flush(carry_key, carry, carry_capped)
                 if j == n:  # group may continue in the next batch
-                    carry_key, carry = key, rows
+                    carry_key, carry, carry_capped = key, rows, kc
                 else:
-                    flush(key, rows)
-                    carry_key, carry = None, None
+                    flush(key, rows, kc)
+                    carry_key, carry, carry_capped = None, None, False
                 i = j
+            if n == 0 and carry_key is not None and carry_key in capped_ids:
+                carry_capped = True  # batch held only this conv's over-cap rows
             if len(out) >= 256:
                 yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
                 out = []
         if carry_key is not None:
-            flush(carry_key, carry)
+            flush(carry_key, carry, carry_capped)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
 

@@ -89,32 +89,40 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
     """Build all sink DataFrames (lazy — nothing executes here)."""
     conf = conf or PipeConf()
 
-    fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
-
     if conf.engine in ("arrow", "arrow_agg"):
         # fast path: broadcast-enrich the RAW rows (no JVM tokenization),
         # one shuffle of raw turns, then parse+assemble+render in the Arrow
         # stage — the grok/kv tokenizer runs as the vectorized pandas stage
         from . import arrow_docs
 
-        enriched = enrich.enrich_roles(fact, enrich.role_dict_df(spark))
-        enriched = enriched.join(
-            F.broadcast(enrich.tool_dict_df(spark)),
-            enriched["tool"] == F.col("tool_code"),
-            "left",
-        ).drop("tool_code", "tool_kind")
         if conf.engine == "arrow":
             # sorted-stream shape: flat binary shuffle + spillable sort,
-            # zero per-group JVM object state (the 10^12-row plan)
-            enriched = enriched.join(F.broadcast(capped_convs), "conv_id", "left")
+            # zero per-group JVM object state (the 10^12-row plan). The turn
+            # cap is enforced INSIDE the sorted pass (rows are consecutive
+            # per conversation), so no cap pre-aggregation scan / shuffle /
+            # broadcast is needed at all on this path.
+            enriched = enrich.enrich_roles(transcripts, enrich.role_dict_df(spark))
+            enriched = enriched.join(
+                F.broadcast(enrich.tool_dict_df(spark)),
+                enriched["tool"] == F.col("tool_code"),
+                "left",
+            ).drop("tool_code", "tool_kind")
             rendered = arrow_docs.render_docs_sorted(
                 enriched,
                 max_doc_bytes=conf.max_doc_bytes,
                 events_per_doc=conf.events_per_doc,
                 with_text=conf.with_text,
                 with_norm=conf.with_norm,
+                max_turns_per_conv=conf.max_turns_per_conv,
             )
         else:
+            fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
+            enriched = enrich.enrich_roles(fact, enrich.role_dict_df(spark))
+            enriched = enriched.join(
+                F.broadcast(enrich.tool_dict_df(spark)),
+                enriched["tool"] == F.col("tool_code"),
+                "left",
+            ).drop("tool_code", "tool_kind")
             events = C.coalesce_events_raw(enriched)
             events = events.join(F.broadcast(capped_convs), "conv_id", "left")
             rendered = arrow_docs.render_docs_arrow(
@@ -145,6 +153,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
         _add_doc_batch_sinks(sinks, conf)
         return sinks
 
+    fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
     parsed = parse.parse_turns(fact)
     parsed = enrich.enrich(parsed, spark)
     events = C.coalesce_events(parsed)
@@ -198,20 +207,19 @@ def rendered_frame(spark: SparkSession, transcripts: DataFrame,
     conf = conf or PipeConf(persist=False)
     from . import arrow_docs
 
-    fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
-    enriched = enrich.enrich_roles(fact, enrich.role_dict_df(spark))
+    enriched = enrich.enrich_roles(transcripts, enrich.role_dict_df(spark))
     enriched = enriched.join(
         F.broadcast(enrich.tool_dict_df(spark)),
         enriched["tool"] == F.col("tool_code"),
         "left",
     ).drop("tool_code", "tool_kind")
-    enriched = enriched.join(F.broadcast(capped_convs), "conv_id", "left")
     return arrow_docs.render_docs_sorted(
         enriched,
         max_doc_bytes=conf.max_doc_bytes,
         events_per_doc=conf.events_per_doc,
         with_text=conf.with_text,
         with_norm=conf.with_norm,
+        max_turns_per_conv=conf.max_turns_per_conv,
     )
 
 

@@ -216,23 +216,21 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import fastkernel
+
+        render_conv = fastkernel.render_conv
         carry_key: str | None = None
-        carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name, ts, cap_col)]
+        carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name)]
+        carry_ts: list | None = None
+        carry_frags: list | None = None
         carry_capped = False
         out: list[dict] = []
 
-        def flush(key: str, rows: list[tuple], capped: bool) -> None:
-            if rows[0][6] is not None:  # precomputed turn_capped column
-                capped = capped or bool(rows[0][6])
-            turns = [
-                {"turn_idx": r[0], "role_name": r[1], "text": r[2],
-                 "tool": r[3], "tool_name": r[4]}
-                for r in rows
-            ]
-            min_ts = min(r[5] for r in rows)
-            rec = _render_one(key, turns, min_ts, capped,
+        def flush(key: str, rows: list[tuple], tss: list, frags: list,
+                  capped: bool) -> None:
+            rec = render_conv(key, rows, min(tss), capped,
                               max_doc_bytes, events_per_doc, with_text,
-                              with_norm)
+                              with_norm, xml_line_frags=frags)
             if rec is not None:
                 out.append(rec)
 
@@ -254,9 +252,10 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 pdf["text"].to_numpy().tolist(),
                 pdf["tool"].to_numpy().tolist(),
                 pdf["tool_name"].to_numpy().tolist(),
-                pdf["ts"].tolist(),  # pd.Timestamps: strftime/microsecond/min all work
-                (pdf["turn_capped"].to_numpy().tolist() if has_cap else [None] * len(pdf)),
             ))
+            tss = pdf["ts"].tolist()  # pd.Timestamps: .year/.microsecond/min all work
+            frags_all = fastkernel.xml_lines_vectorized(pdf["text"])
+            caps = pdf["turn_capped"].tolist() if has_cap else None
             i = 0
             n = len(ids)
             while i < n:
@@ -265,17 +264,23 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 while j < n and ids[j] == key:
                     j += 1
                 rows = data[i:j]
-                kc = key in capped_ids
+                row_ts = tss[i:j]
+                row_frags = frags_all[i:j]
+                kc = key in capped_ids or bool(caps and caps[i] is not None and caps[i])
                 if carry_key is not None and key == carry_key:
                     rows = carry + rows
+                    row_ts = carry_ts + row_ts
+                    row_frags = carry_frags + row_frags
                     kc = kc or carry_capped
                 elif carry_key is not None:
-                    flush(carry_key, carry, carry_capped)
+                    flush(carry_key, carry, carry_ts, carry_frags, carry_capped)
                 if j == n:  # group may continue in the next batch
-                    carry_key, carry, carry_capped = key, rows, kc
+                    carry_key, carry, carry_ts, carry_frags, carry_capped = (
+                        key, rows, row_ts, row_frags, kc)
                 else:
-                    flush(key, rows, kc)
-                    carry_key, carry, carry_capped = None, None, False
+                    flush(key, rows, row_ts, row_frags, kc)
+                    carry_key, carry, carry_ts, carry_frags, carry_capped = (
+                        None, None, None, None, False)
                 i = j
             if n == 0 and carry_key is not None and carry_key in capped_ids:
                 carry_capped = True  # batch held only this conv's over-cap rows
@@ -283,7 +288,7 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
                 out = []
         if carry_key is not None:
-            flush(carry_key, carry, carry_capped)
+            flush(carry_key, carry, carry_ts, carry_frags, carry_capped)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
 

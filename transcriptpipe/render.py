@@ -181,25 +181,57 @@ _XML_ESCAPES = {**_XML_CONTROL,
 import re as _re
 
 _XML_NEEDS_ESCAPE = _re.compile(r"[&<>\"'\x00-\x08\x0b\x0c\x0e-\x1f]")
+_XML_HAS_CONTROL = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
 
 
 def xml_escape_str(s: str) -> str:
-    # fast path: most strings need no escaping; one C-level regex scan beats
-    # an unconditional str.translate (measured ~2x on the render kernel)
+    # fast path: most strings need no escaping — one C-level regex scan.
+    # Escaping strings take 5 chained C replaces (beats str.translate on the
+    # short-string common case); the rare control chars translate after
+    # (safe order: replacements introduce no control chars, & goes first).
     if _XML_NEEDS_ESCAPE.search(s) is None:
         return s
-    return s.translate(_XML_ESCAPES)
+    s = (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace('"', "&quot;").replace("'", "&apos;")
+    )
+    if _XML_HAS_CONTROL.search(s) is not None:
+        s = s.translate(_XML_CONTROL)
+    return s
 
 
-def _fields_xml(fields: dict) -> str:
+# bounded memo for field/attr names — names come from the token grammar so
+# they repeat massively; the cap keeps adversarial inputs from growing it
+_NAME_CACHE: dict[str, str] = {}
+
+
+def _xml_name(k: str) -> str:
+    v = _NAME_CACHE.get(k)
+    if v is None:
+        v = xml_escape_str(k)
+        if len(_NAME_CACHE) < 4096:
+            _NAME_CACHE[k] = v
+    return v
+
+
+def _fields_xml(fields: dict, _srch=_XML_NEEDS_ESCAPE.search) -> str:
     out = []
+    ap = out.append
     for k, v in fields.items():
-        vals = "".join(f"<v>{xml_escape_str(x)}</v>" for x in v)
-        out.append(f'<f name="{xml_escape_str(k)}">{vals}</f>')
+        if len(v) == 1:  # single-value fast path (the vast majority)
+            x = v[0]
+            ap(f'<f name="{_xml_name(k)}"><v>'
+               f'{x if _srch(x) is None else xml_escape_str(x)}</v></f>')
+        else:
+            vals = "".join(
+                [f"<v>{x if _srch(x) is None else xml_escape_str(x)}</v>"
+                 for x in v]
+            )
+            ap(f'<f name="{_xml_name(k)}">{vals}</f>')
     return "".join(out)
 
 
-def xml_from_doc(e: dict) -> str:
+def xml_from_doc(e: dict, _srch=_XML_NEEDS_ESCAPE.search) -> str:
     """Event doc object -> XML string. Element layout mirrors
     lib/aushape.xsd: <event serial time [error] [trimmed]>
     <text><line/>*</text> <data><role>...</role>*</data> </event>."""
@@ -209,46 +241,47 @@ def xml_from_doc(e: dict) -> str:
     if e.get("trimmed"):
         attrs += ' trimmed="true"'
     parts = [f"<event{attrs}>"]
-    if "text" in e and e["text"] is not None:
-        parts.append(
-            "<text>"
-            + "".join(f"<line>{xml_escape_str(t) if t is not None else ''}</line>" for t in e["text"])
-            + "</text>"
-        )
+    ap = parts.append
+    texts = e.get("text")
+    if texts is not None:
+        ap("<text>")
+        ap("".join(
+            [f"<line>{t if _srch(t) is None else xml_escape_str(t)}</line>"
+             if t is not None else "<line></line>" for t in texts]
+        ))
+        ap("</text>")
     data = e.get("data")
     if data is not None:
-        parts.append("<data>")
+        ap("<data>")
         # generalized over data keys in document order, so catch-all roles
         # (unknown record types, disp_coll.c:191-228 analog) render too
         for key, v in data.items():
             if v is None:
                 continue
             if key == "args":
-                parts.append(
-                    "<args>" + "".join(f"<a>{xml_escape_str(a)}</a>" for a in v) + "</args>"
-                )
+                ap("<args>"
+                   + "".join([f"<a>{xml_escape_str(a)}</a>" for a in v])
+                   + "</args>")
             elif key == "tools":
-                parts.append(
-                    "<tools>" + "".join(f"<t>{xml_escape_str(t)}</t>" for t in v) + "</tools>"
-                )
+                ap("<tools>"
+                   + "".join([f"<t>{xml_escape_str(t)}</t>" for t in v])
+                   + "</tools>")
             elif isinstance(v, dict):  # uniq-collected (system / catch-all)
-                parts.append(f"<{key}>{_fields_xml(v)}</{key}>")
+                ap(f"<{key}>{_fields_xml(v)}</{key}>")
             else:  # rep / slot collected: one element per instance
                 for item in v:
-                    parts.append(f"<{key}>{_fields_xml(item)}</{key}>")
-        parts.append("</data>")
+                    ap(f"<{key}>{_fields_xml(item)}</{key}>")
+        ap("</data>")
     norm = e.get("norm")
     if norm is not None:
-        parts.append("<norm>")
+        ap("<norm>")
         for k, v in norm.items():
             vals = v if isinstance(v, list) else [v]
-            parts.append(
-                f'<f name="{xml_escape_str(k)}">'
-                + "".join(f"<v>{xml_escape_str(str(x))}</v>" for x in vals)
-                + "</f>"
-            )
-        parts.append("</norm>")
-    parts.append("</event>")
+            ap(f'<f name="{_xml_name(k)}">'
+               + "".join([f"<v>{xml_escape_str(str(x))}</v>" for x in vals])
+               + "</f>")
+        ap("</norm>")
+    ap("</event>")
     return "".join(parts)
 
 

@@ -35,3 +35,25 @@ def test_cli_batch_run(spark, tmp_path):
                 "--run-id", "t1"])
     assert rc2 == 0
     assert cat.read(spark, "json_doc").count() == 25
+
+
+def test_cli_lang_json_skips_xml_sinks(spark, tmp_path):
+    """VERDICT/ADVICE r2: --lang json must actually skip building and
+    writing the XML sinks (no manifest, no directory), not merely label
+    them as skipped."""
+    import os
+
+    inp = str(tmp_path / "in2.parquet")
+    out = str(tmp_path / "wh2")
+    synth.write_transcripts(inp, n_convs=10, seed=6)
+    rc = main([inp, "-O", out, "--lang", "json", "--events-per-doc", "5",
+               "--run-id", "t2"])
+    assert rc == 0
+    from transcriptpipe.sinks import SinkCatalog
+
+    cat = SinkCatalog(out)
+    assert cat.read(spark, "json_doc").count() == 10
+    assert sum(r["n_events"] for r in cat.read(spark, "json_log").collect()) == 10
+    for skipped in ("xml_doc", "xml_log"):
+        assert not os.path.exists(os.path.join(out, skipped)), skipped
+        assert not cat.manifest(skipped)["snapshots"]

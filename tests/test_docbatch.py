@@ -142,3 +142,25 @@ def test_pipeline_doc_batch_sink(spark):
     assert sum(r["n_events"] for r in xlogs) == 30
     for r in xlogs:
         ET.fromstring(r["doc"])
+
+
+def test_byte_mode_null_serial_routes_to_sentinel_range(spark):
+    """ADVICE r2: a null serial (conv_id without trailing digits) must not
+    crash byte-budget mode — it routes to the sentinel range -1 and still
+    packs greedily."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "serial": pd.array([0, 1, None, None, 7], dtype="Int64"),
+        "doc": [f'{{"x":{i}}}' for i in range(5)],
+    })
+    ev = spark.createDataFrame(pdf)
+    out = docbatch.batch_documents(ev, events_per_doc=-40,
+                                   byte_range_span=8).collect()
+    assert sum(r["n_events"] for r in out) == 5
+    sentinel = [r for r in out if r["doc_id"] < 0]
+    assert sentinel and all(r["first_serial"] is None for r in sentinel)
+    assert sum(r["n_events"] for r in sentinel) == 2
+    # count mode tolerates them too (null group)
+    cm = docbatch.batch_documents(ev, events_per_doc=2).collect()
+    assert sum(r["n_events"] for r in cm) == 5

@@ -202,3 +202,42 @@ def test_processing_time_flush_incomplete(spark, tmp_path):
     assert len(got) == 1
     assert not got[0]["complete"]  # timeout flush, not EOE
     assert got[0]["n_turns"] == 4
+
+
+def test_stream_matches_batch_at_nondefault_conf(spark, split_input, tmp_path):
+    """ST parity with PipeConf (VERDICT r2 #5): with_norm + no-text +
+    max_doc_bytes trim must behave identically to the batch kernel in
+    stream mode, not only at the default config."""
+    in_dir, pdf = split_input
+    out = str(tmp_path / "out_conf")
+    ckpt = str(tmp_path / "ckpt_conf")
+    streaming.run_stream_once(spark, in_dir, out, ckpt,
+                              with_text=False, with_norm=True,
+                              max_doc_bytes=600)
+    got = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+
+    from transcriptpipe import fastkernel, oracle
+
+    n_checked = 0
+    for conv_id, grp in pdf.groupby("conv_id"):
+        rows = sorted(
+            (int(r.turn_idx), oracle.ROLE_MAP.get(r.role, r.role), r.text,
+             None if pd.isna(r.tool) else r.tool,
+             oracle.TOOL_MAP.get(r.tool) if not pd.isna(r.tool) else None)
+            for r in grp.itertuples(index=False)
+        )
+        want = fastkernel.render_conv(conv_id, rows, grp["ts"].min(), False,
+                                      600, 100, with_text=False,
+                                      with_norm=True, want_xml=False)
+        if want is None:
+            assert conv_id not in got
+            continue
+        n_checked += 1
+        g = got[conv_id]
+        assert g["doc"] == want["doc"], conv_id
+        assert g["trimmed"] == want["trimmed"], conv_id
+        assert g["error"] == want["error"], conv_id
+    assert n_checked >= 18
+    docs = [json.loads(g["doc"]) for g in got.values()]
+    assert any("norm" in d for d in docs)
+    assert all("text" not in d or d.get("error") for d in docs)

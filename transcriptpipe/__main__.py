@@ -7,8 +7,10 @@ option surface /root/reference/lib/conf.c:31-81).
 
 Option mapping (reference → here):
 
-    -l/--lang            → both sinks are always built; --lang selects which
-                           doc sink the run writes (json, xml, or both)
+    -l/--lang            → selects which doc language the run builds AND
+                           writes (json, xml, or both); a deselected
+                           language's sinks are never constructed and its
+                           render work is skipped inside the kernel
     --events-per-doc     → none / all / N / -BYTES (format.h:52-59), adds the
                            batched json_log/xml_log sinks when set
     --max-event-size     → --max-doc-bytes (trim cap; format.h:60-63)
@@ -78,12 +80,30 @@ def main(argv: list[str] | None = None) -> int:
     if args.stream:
         from . import streaming
 
+        # stream mode honors the rendering options via the shared kernel;
+        # options it cannot honor are rejected loudly, not ignored
+        for opt, flag in ((args.events_per_doc, "--events-per-doc"),
+                          (args.run_id, "--run-id")):
+            if opt is not None:
+                print(f"warning: {flag} is ignored in --stream mode",
+                      file=sys.stderr)
+        if args.lang == "xml":
+            print("error: --stream emits the json doc sink only", file=sys.stderr)
+            return 2
         ckpt = f"{args.out}/_checkpoint"
-        streaming.run_stream_once(spark, args.input, f"{args.out}/json_doc",
-                                  ckpt)
+        streaming.run_stream_once(
+            spark, args.input, f"{args.out}/json_doc", ckpt,
+            watermark=args.watermark,
+            max_turns_per_conv=args.max_turns_per_conv,
+            with_text=not args.no_text, with_norm=args.with_norm,
+            max_doc_bytes=args.max_doc_bytes if args.max_doc_bytes > 0 else None,
+        )
         print(f"streamed -> {args.out}/json_doc", file=sys.stderr)
         return 0
 
+    if args.watermark is not None:
+        print("warning: --watermark only applies to --stream mode", file=sys.stderr)
+    langs = ("json", "xml") if args.lang == "both" else (args.lang,)
     conf = pipeline.PipeConf(
         max_doc_bytes=args.max_doc_bytes,
         max_turns_per_conv=args.max_turns_per_conv,
@@ -92,16 +112,16 @@ def main(argv: list[str] | None = None) -> int:
         engine=args.engine,
         doc_batch=(parse_events_per_doc(args.events_per_doc)
                    if args.events_per_doc is not None else None),
+        langs=langs,
     )
     run_id = args.run_id or "cli-" + args.input.strip("/").replace("/", "_")[-40:]
     catalog = sinks.SinkCatalog(args.out)
     tdf = spark.read.parquet(args.input)
+    # deselected languages are never built or written (their render work is
+    # skipped inside the kernel) — ref -l semantics, lib/conf.c:31-81
     results = pipeline.run(spark, tdf, catalog, run_id, conf)
-    wanted = {"json": ["xml_doc", "xml_log"], "xml": ["json_doc", "json_log"]}
-    skip = set(wanted.get(args.lang, []))
     for name, snap in results.items():
-        mark = "skipped(lang)" if name in skip else (snap or "already-committed")
-        print(f"{name}: {mark}", file=sys.stderr)
+        print(f"{name}: {snap or 'already-committed'}", file=sys.stderr)
     return 0
 
 

@@ -40,7 +40,7 @@ DOC_SCHEMA = T.StructType([
     T.StructField("time", T.StringType(), False),
     T.StructField("n_turns", T.IntegerType(), False),
     T.StructField("doc", T.StringType(), False),
-    T.StructField("xml", T.StringType(), False),
+    T.StructField("xml", T.StringType(), True),  # null when XML is deselected (--lang json)
     T.StructField("trimmed", T.BooleanType(), False),
     T.StructField("error", T.StringType(), True),
     T.StructField(
@@ -175,7 +175,8 @@ def _render_one(conv_id: str, turns, min_ts, turn_capped: bool,
 def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                        events_per_doc: int = 100, with_text: bool = True,
                        with_norm: bool = False,
-                       max_turns_per_conv: int | None = None) -> DataFrame:
+                       max_turns_per_conv: int | None = None,
+                       want_xml: bool = True) -> DataFrame:
     """Sorted-stream coalesce+render: repartition by conv_id, Tungsten
     sortWithinPartitions (binary, spillable — no per-group JVM objects at
     all), then ONE mapInPandas pass that groups consecutive rows per
@@ -230,7 +231,8 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                   capped: bool) -> None:
             rec = render_conv(key, rows, min(tss), capped,
                               max_doc_bytes, events_per_doc, with_text,
-                              with_norm, xml_line_frags=frags)
+                              with_norm, xml_line_frags=frags,
+                              want_xml=want_xml)
             if rec is not None:
                 out.append(rec)
 
@@ -254,7 +256,8 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 pdf["tool_name"].to_numpy().tolist(),
             ))
             tss = pdf["ts"].tolist()  # pd.Timestamps: .year/.microsecond/min all work
-            frags_all = fastkernel.xml_lines_vectorized(pdf["text"])
+            frags_all = (fastkernel.xml_lines_vectorized(pdf["text"])
+                         if want_xml else [None] * len(pdf))
             caps = pdf["turn_capped"].tolist() if has_cap else None
             i = 0
             n = len(ids)

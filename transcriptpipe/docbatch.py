@@ -152,8 +152,13 @@ def _batch_by_bytes(ev: DataFrame, budget: int, fmt: str, span: int) -> DataFram
     if span > RANGE_STRIDE:
         raise ValueError(f"byte_range_span must be <= {RANGE_STRIDE}")
     sep, pro, epi = SEP[fmt], PROLOGUE[fmt], EPILOGUE[fmt]
+    # null serials (conv_id without trailing digits — DOC_SCHEMA declares
+    # serial nullable) route to the dedicated sentinel range -1 instead of a
+    # null range, which would surface as NaN in the pandas batch and break
+    # both the group scan (NaN != NaN) and int(range_id) (ADVICE r2)
     with_range = ev.withColumn(
-        "_range", F.floor(F.col("serial") / F.lit(span)).cast("long")
+        "_range",
+        F.coalesce(F.floor(F.col("serial") / F.lit(span)), F.lit(-1)).cast("long"),
     ).repartition("_range").sortWithinPartitions("_range", "serial")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,7 +181,12 @@ def _batch_by_bytes(ev: DataFrame, budget: int, fmt: str, span: int) -> DataFram
 
         for pdf in batches:
             rids = pdf["_range"].to_numpy()
-            serials = pdf["serial"].to_numpy().tolist()
+            # null serials arrive as NaN (pandas promotes nullable int64 to
+            # float64): normalize to None / python int for the output frame
+            serials = [
+                None if pd.isna(x) else int(x)
+                for x in pdf["serial"].tolist()
+            ]
             docs = pdf["doc"].to_numpy().tolist()
             i, n = 0, len(rids)
             while i < n:

@@ -71,6 +71,11 @@ class PipeConf:
     ``json_log`` / ``xml_log`` sinks grouping the per-event docs into
     multi-event documents with prologue/epilogue (see docbatch.py). Values:
     N>1 count mode, 1 one-event docs, 0 bare, -B byte budget, "all"."""
+    langs: tuple = ("json", "xml")
+    """-l/--lang analog (ref lib/conf.c:31-81): which doc languages the run
+    builds AND writes. A deselected language's sinks are never constructed
+    and its render work is skipped entirely (the Arrow kernel skips XML
+    assembly when "xml" is absent — not just the write)."""
 
 
 def cap_turns(df: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
@@ -114,6 +119,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
                 with_text=conf.with_text,
                 with_norm=conf.with_norm,
                 max_turns_per_conv=conf.max_turns_per_conv,
+                want_xml="xml" in conf.langs,
             )
         else:
             fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
@@ -143,13 +149,15 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
 
             rendered = rendered.persist(StorageLevel.MEMORY_AND_DISK)
         doc_cols = ["conv_id", "doc_id", "serial", "time", "n_turns"]
-        json_doc = rendered.select(*doc_cols, "doc", "trimmed", "error")
-        xml_doc = rendered.select(
-            *doc_cols, F.col("xml").alias("doc"), "trimmed", "error"
-        )
-        err = route.error_sink(rendered)
-        raw = route.raw_sink(transcripts)
-        sinks = {"json_doc": json_doc, "xml_doc": xml_doc, "error": err, "raw": raw}
+        sinks = {}
+        if "json" in conf.langs:
+            sinks["json_doc"] = rendered.select(*doc_cols, "doc", "trimmed", "error")
+        if "xml" in conf.langs:
+            sinks["xml_doc"] = rendered.select(
+                *doc_cols, F.col("xml").alias("doc"), "trimmed", "error"
+            )
+        sinks["error"] = route.error_sink(rendered)
+        sinks["raw"] = route.raw_sink(transcripts)
         _add_doc_batch_sinks(sinks, conf)
         return sinks
 
@@ -174,27 +182,32 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
         with_norm=conf.with_norm,
     )
 
-    xml_doc = render.render_xml(json_doc)
-    err = route.error_sink(docs)
-    raw = route.raw_sink(transcripts)
-
-    sinks = {"json_doc": json_doc, "xml_doc": xml_doc, "error": err, "raw": raw}
+    sinks = {}
+    if "json" in conf.langs:
+        sinks["json_doc"] = json_doc
+    if "xml" in conf.langs:
+        sinks["xml_doc"] = render.render_xml(json_doc)
+    sinks["error"] = route.error_sink(docs)
+    sinks["raw"] = route.raw_sink(transcripts)
     _add_doc_batch_sinks(sinks, conf)
     return sinks
 
 
 def _add_doc_batch_sinks(sinks: dict[str, DataFrame], conf: PipeConf) -> None:
-    """S6: multi-event log documents built from the per-event sinks."""
+    """S6: multi-event log documents built from the per-event sinks
+    (deselected languages stay deselected — ADVICE r2: --lang must skip)."""
     if conf.doc_batch is None:
         return
     from . import docbatch
 
-    sinks["json_log"] = docbatch.batch_documents(
-        sinks["json_doc"], events_per_doc=conf.doc_batch, fmt="json"
-    )
-    sinks["xml_log"] = docbatch.batch_documents(
-        sinks["xml_doc"], events_per_doc=conf.doc_batch, fmt="xml"
-    )
+    if "json_doc" in sinks:
+        sinks["json_log"] = docbatch.batch_documents(
+            sinks["json_doc"], events_per_doc=conf.doc_batch, fmt="json"
+        )
+    if "xml_doc" in sinks:
+        sinks["xml_log"] = docbatch.batch_documents(
+            sinks["xml_doc"], events_per_doc=conf.doc_batch, fmt="xml"
+        )
 
 
 def rendered_frame(spark: SparkSession, transcripts: DataFrame,

@@ -67,51 +67,67 @@ STREAM_STATE = T.StructType([
 ])
 
 
-def _assemble(conv_id: str, rows: list[dict]) -> dict | None:
-    """One conversation -> doc row, via the shared single-process semantics.
-    Returns None for empty events (P2, conv_buf.c:570-574)."""
-    import json
-    from datetime import datetime, timezone
+def _assemble(conv_id: str, rows: list[tuple], capped: bool,
+              with_text: bool = True, with_norm: bool = False,
+              max_doc_bytes: int | None = None) -> dict | None:
+    """One conversation -> doc row, via the SAME fused kernel as the batch
+    Arrow engine (fastkernel.render_conv) — so every PipeConf rendering
+    option (with_text / with_norm / max_doc_bytes trim cascade) behaves
+    identically in stream and batch mode. Returns None for empty events
+    (P2, conv_buf.c:570-574).
 
-    for r in rows:
-        r["ts"] = datetime.fromtimestamp(
-            r.pop("ts_us") / 1e6, tz=timezone.utc
-        ).replace(tzinfo=None)
-    turns = [oracle.parse_turn(r) for r in sorted(rows, key=lambda r: r["turn_idx"])]
-    conv = oracle.coalesce_conv(turns)
-    if conv["n_records"] == 0 and conv["error"] is None:
+    ``rows``: (turn_idx, role, text, tool, ts_us) with RAW role/tool codes
+    — the dictionary enrichment is applied here (broadcast-equivalent: the
+    dicts are in-process constants on every worker)."""
+    from datetime import datetime, timedelta
+
+    from . import fastkernel
+
+    rows = sorted(rows, key=lambda r: r[0])
+    role_map, tool_map = oracle.ROLE_MAP, oracle.TOOL_MAP
+    tup = [
+        (r[0], role_map.get(r[1], r[1]), r[2], r[3],
+         tool_map.get(r[3]) if r[3] else None)
+        for r in rows
+    ]
+    min_ts = datetime(1970, 1, 1) + timedelta(microseconds=min(r[4] for r in rows))
+    rec = fastkernel.render_conv(conv_id, tup, min_ts, capped,
+                                 max_doc_bytes, 100, with_text, with_norm,
+                                 want_xml=False)
+    if rec is None:
         return None
-    doc = oracle.doc_object(conv)
     return {
         "conv_id": conv_id,
-        "serial": conv["serial"],
-        "time": doc["time"],
-        "n_turns": conv["n_turns"],
-        "doc": json.dumps(doc, ensure_ascii=False, separators=(",", ":")),
-        "error": conv["error"],
+        "serial": rec["serial"],
+        "time": rec["time"],
+        "n_turns": rec["n_turns"],
+        "doc": rec["doc"],
+        "error": rec["error"],
+        "trimmed": rec["trimmed"],
     }
 
 
 def _make_coalesce_fn(timeout_ms: int | None, max_turns_per_conv: int = 2048,
-                      event_time_gap_ms: int | None = None):
+                      event_time_gap_ms: int | None = None,
+                      with_text: bool = True, with_norm: bool = False,
+                      max_doc_bytes: int | None = None):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
 
         def emit(ti, ro, te, to, ts, complete, capped):
-            rows = [
-                {"conv_id": conv_id, "turn_idx": a, "role": b, "text": c,
-                 "tool": d, "ts_us": e}
-                for a, b, c, d, e in zip(ti, ro, te, to, ts)
-            ]
+            rows = list(zip(ti, ro, te, to, ts))
             if not rows:
                 return
-            out = _assemble(conv_id, rows)
+            out = _assemble(conv_id, rows, capped,
+                            with_text=with_text, with_norm=with_norm,
+                            max_doc_bytes=max_doc_bytes)
             if out is None:  # P2 empty-event drop
                 return
+            trimmed = out.pop("trimmed")  # keep STREAM_DOC column order
             out["complete"] = complete
-            out["trimmed"] = capped
+            out["trimmed"] = trimmed
             yield pd.DataFrame([out])
 
         if state.hasTimedOut:
@@ -183,7 +199,9 @@ def stream_coalesce(spark: SparkSession, input_path: str,
                     checkpoint: str, timeout_ms: int | None = None,
                     max_turns_per_conv: int = 2048,
                     watermark: str | None = None,
-                    event_time_gap_ms: int = 60_000) -> DataFrame:
+                    event_time_gap_ms: int = 60_000,
+                    with_text: bool = True, with_norm: bool = False,
+                    max_doc_bytes: int | None = None) -> DataFrame:
     """readStream(files) -> stateful EOE-driven coalesce. Returns the
     streaming DataFrame; caller attaches writeStream (see run_stream_once).
 
@@ -207,18 +225,21 @@ def stream_coalesce(spark: SparkSession, input_path: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(input_path)
     )
+    render_opts = dict(with_text=with_text, with_norm=with_norm,
+                       max_doc_bytes=max_doc_bytes)
     if watermark is not None:
         raw = raw.withWatermark("ts", watermark)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
         fn = _make_coalesce_fn(None, max_turns_per_conv,
-                               event_time_gap_ms=event_time_gap_ms)
+                               event_time_gap_ms=event_time_gap_ms,
+                               **render_opts)
     else:
         timeout_conf = (
             GroupStateTimeout.ProcessingTimeTimeout
             if timeout_ms
             else GroupStateTimeout.NoTimeout
         )
-        fn = _make_coalesce_fn(timeout_ms, max_turns_per_conv)
+        fn = _make_coalesce_fn(timeout_ms, max_turns_per_conv, **render_opts)
     return raw.groupBy("conv_id").applyInPandasWithState(
         fn,
         outputStructType=STREAM_DOC,
@@ -229,11 +250,18 @@ def stream_coalesce(spark: SparkSession, input_path: str,
 
 
 def run_stream_once(spark: SparkSession, input_path: str, out_path: str,
-                    checkpoint: str) -> None:
+                    checkpoint: str, watermark: str | None = None,
+                    max_turns_per_conv: int = 2048,
+                    with_text: bool = True, with_norm: bool = False,
+                    max_doc_bytes: int | None = None) -> None:
     """Drain all currently-available input (Trigger.AvailableNow) into a
-    parquet sink — the batch-ish smoke path used by tests."""
+    parquet sink — the batch-ish smoke path used by tests and the CLI's
+    --stream mode (all rendering options thread through)."""
     q = (
-        stream_coalesce(spark, input_path, checkpoint)
+        stream_coalesce(spark, input_path, checkpoint,
+                        max_turns_per_conv=max_turns_per_conv,
+                        watermark=watermark, with_text=with_text,
+                        with_norm=with_norm, max_doc_bytes=max_doc_bytes)
         .writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)

@@ -601,6 +601,33 @@ SELECT simhash, count(*) AS n_docs FROM sim GROUP BY 1
 """
 
 
+def q_doc_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at hamming distance <= 2 via pigeonhole
+    block buckets (datalib.dedup.simhash_near_pairs — hamming>0 probing).
+    Below the bucket cap the pigeonhole guarantees recall 1, so the result
+    EQUALS the brute-force all-pairs hamming filter the oracle runs."""
+    from transcriptpipe.datalib import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_pairs(d, bits=16, max_hamming=2)
+    return out.select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+_SIMHASH16_BITS = " + ".join(
+    f"(CASE WHEN sum(2 * (ascii(substr(md5(tok), {b + 1}, 1)) % 2) - 1) > 0 "
+    f"THEN 1 ELSE 0 END) * {1 << b}"
+    for b in range(16)
+)
+SQL_DOC_SIMHASH_NEAR = f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sim AS (SELECT doc_id, {_SIMHASH16_BITS} AS simhash FROM tok GROUP BY doc_id)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
 STOPWORDS = ["the", "a", "and", "of", "in", "to"]
 
 
@@ -871,8 +898,33 @@ FROM embeddings GROUP BY label
 
 
 # --------------------------------------------------------------------------
-# transcript pipeline itself (non-SQL-expressible -> rows-only checks)
+# transcript pipeline itself. The full doc BYTES are not SQL-expressible
+# (rows-only + golden corpus), but the error sink and the doc envelope ARE:
+# a DuckDB SQL mirror of the full add-time + end-of-event error
+# classification (tokenizer regex, last-win field maps, uniq/dup detection,
+# EXECVE reassembly validation, PATH slot check, P2 empty-event drop) runs
+# against the SAME deterministic synth fixture, written to a shared parquet
+# path that both engines read.
 # --------------------------------------------------------------------------
+
+_FIXTURE_PATH = "/tmp/transcriptpipe_fixture_s42_n200.parquet"
+
+
+def _ensure_fixture() -> str:
+    """Write the deterministic synth transcripts fixture (idempotent, atomic
+    rename) so Spark and the DuckDB oracle read identical bytes regardless
+    of which side the driver runs first."""
+    import os
+    import uuid
+
+    from transcriptpipe import synth
+
+    if not os.path.exists(_FIXTURE_PATH):
+        tmp = f"{_FIXTURE_PATH}.{uuid.uuid4().hex}.tmp"
+        synth.gen_transcripts(n_convs=200, seed=42).to_parquet(tmp, index=False)
+        os.replace(tmp, _FIXTURE_PATH)
+    return _FIXTURE_PATH
+
 
 def _synth_df(spark: SparkSession, n_convs: int = 200):
     from transcriptpipe import schemas, synth
@@ -881,18 +933,210 @@ def _synth_df(spark: SparkSession, n_convs: int = 200):
     return spark.createDataFrame(pdf, schema=schemas.TRANSCRIPTS)
 
 
+# DuckDB mirror of the classification semantics (oracle.py / fastkernel.py):
+# tokenize (TOKEN_RE), unquote+unescape, row errors with precedence
+# PARSE_FAIL > INVALID_HEX > UNKNOWN_TOOL, uniq-collector duplicates
+# (registered 'system' + catch-all lowercased names share one key space),
+# earliest-(turn, code) add-error latch, EXECVE token reassembly validation
+# over per-turn LAST-WIN maps, PATH slot solidity. One documented
+# divergence: declared-length checks count re-encoded UTF-8 bytes in Python
+# (errors="replace") vs raw decoded bytes here — identical for any hex
+# payload that is valid UTF-8, which the transcript grammar emits.
+_TOKEN_SQL = r"([A-Za-z_][A-Za-z0-9_]*(?:\[\d+\])?)=(\"(?:[^\"\\]|\\.)*\"|\S+)"
+_TOOLS_SQL = ",".join(f"'T{i:02d}'" for i in range(20))
+
+
+def _transcript_cls_sql() -> str:
+    fix = _ensure_fixture()
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{fix}')),
+enr AS (
+  SELECT conv_id, turn_idx,
+         CASE role WHEN 'R0' THEN 'user' WHEN 'R1' THEN 'assistant'
+                   WHEN 'R2' THEN 'system' WHEN 'R3' THEN 'tool_call'
+                   WHEN 'R4' THEN 'tool_result' ELSE role END AS role,
+         text, tool,
+         regexp_extract_all(coalesce(text,''), '{_TOKEN_SQL}', 1) AS ks,
+         list_transform(
+           regexp_extract_all(coalesce(text,''), '{_TOKEN_SQL}', 2),
+           v -> CASE WHEN length(v) >= 2 AND v[1] = '"' AND v[-1] = '"'
+                THEN regexp_replace(v[2:-2], '\\\\(.)', '\\1', 'g') ELSE v END
+         ) AS vs
+  FROM t),
+rowcls AS (
+  SELECT *,
+    len(ks) > 0 AS has_tok,
+    CASE
+      WHEN len(ks) = 0 AND trim(coalesce(text,'')) <> '' THEN 'PARSE_FAIL'
+      WHEN len(ks) > 0 AND len(list_filter(range(1, len(ks)+1), i -> ks[i] = 'hex')) > 0
+           AND NOT regexp_full_match(
+                 vs[list_max(list_filter(range(1, len(ks)+1), i -> ks[i] = 'hex'))],
+                 '([0-9A-Fa-f][0-9A-Fa-f])*')
+        THEN 'INVALID_HEX'
+      WHEN tool IS NOT NULL AND tool NOT IN ({_TOOLS_SQL}) THEN 'UNKNOWN_TOOL'
+    END AS row_err
+  FROM enr),
+rep AS (
+  SELECT conv_id, min(turn_idx) AS rep_turn FROM (
+    SELECT conv_id, turn_idx,
+           row_number() OVER (
+             PARTITION BY conv_id,
+                          CASE WHEN role = 'system' THEN 'system' ELSE lower(role) END
+             ORDER BY turn_idx) AS rn
+    FROM rowcls
+    WHERE role = 'system'
+       OR role NOT IN ('user','assistant','system','tool_call','tool_result','EOE'))
+  WHERE rn >= 2 GROUP BY conv_id),
+adderr AS (
+  SELECT conv_id, min(struct_pack(ti := ti, code := code)) AS m FROM (
+    SELECT conv_id, turn_idx AS ti, row_err AS code FROM rowcls WHERE row_err IS NOT NULL
+    UNION ALL
+    SELECT conv_id, rep_turn AS ti, 'REPEATED_RECORD' AS code FROM rep)
+  GROUP BY conv_id),
+allent AS (
+  SELECT conv_id, turn_idx, role, u.i AS i, ks[u.i] AS k, vs[u.i] AS v
+  FROM rowcls, unnest(range(1, len(ks)+1)) AS u(i)),
+lw AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, k ORDER BY i DESC) AS rn
+    FROM allent) WHERE rn = 1),
+argent AS (
+  SELECT conv_id, k, v FROM lw
+  WHERE role = 'tool_call'
+    AND (k = 'argc' OR regexp_full_match(k, 'a\\d+(_len|\\[\\d+\\])?'))),
+argc AS (
+  SELECT conv_id, max(try_cast(v AS INT)) AS argc_decl
+  FROM argent WHERE k = 'argc' GROUP BY conv_id),
+aent AS (
+  SELECT conv_id,
+         try_cast(regexp_extract(k, '^a(\\d+)', 1) AS INT) AS idx,
+         CASE WHEN regexp_full_match(k, 'a\\d+_len') THEN 'len'
+              WHEN regexp_full_match(k, 'a\\d+\\[\\d+\\]') THEN 'slice'
+              ELSE 'whole' END AS kind,
+         try_cast(regexp_extract(k, '\\[(\\d+)\\]$', 1) AS INT) AS si,
+         v
+  FROM argent WHERE k <> 'argc'),
+perarg AS (
+  SELECT conv_id, idx,
+    count(*) FILTER (WHERE kind = 'whole') AS n_w,
+    max(try_cast(v AS INT)) FILTER (WHERE kind = 'len') AS decl,
+    count(*) FILTER (WHERE kind = 'slice') AS n_sl,
+    list(struct_pack(si := si, v := v) ORDER BY si) FILTER (WHERE kind = 'slice') AS sls
+  FROM aent GROUP BY conv_id, idx),
+argjudge AS (
+  SELECT conv_id, idx,
+    NOT (
+      (n_w = 1 AND n_sl = 0 AND decl IS NULL)
+      OR (n_w = 0 AND n_sl > 0
+          AND list_aggregate(list_transform(range(1, len(sls)+1),
+                i -> CASE WHEN sls[i].si = i - 1 THEN 1 ELSE 0 END), 'min') = 1
+          AND regexp_full_match(list_aggregate(list_transform(sls, s -> s.v),
+                'string_agg', ''), '([0-9A-Fa-f][0-9A-Fa-f])*')
+          AND (decl IS NULL
+               OR octet_length(unhex(list_aggregate(list_transform(sls, s -> s.v),
+                    'string_agg', ''))) = decl))
+    ) AS bad
+  FROM perarg),
+execve AS (
+  SELECT c.conv_id,
+    CASE WHEN NOT (
+        coalesce(j.n_args, 0) = 0
+        OR (j.min_idx = 0 AND j.max_idx = j.n_args - 1 AND NOT j.any_bad))
+      OR (c.argc_decl IS NOT NULL AND c.argc_decl <> coalesce(j.n_args, 0))
+      OR coalesce(j.any_bad, FALSE)
+    THEN 'INVALID_EXECVE' END AS execve_err
+  FROM (SELECT DISTINCT conv_id, argc_decl FROM
+          (SELECT a.conv_id, c2.argc_decl
+           FROM (SELECT DISTINCT conv_id FROM argent) a
+           LEFT JOIN argc c2 USING (conv_id))) c
+  LEFT JOIN (
+    SELECT conv_id, count(*) AS n_args, min(idx) AS min_idx, max(idx) AS max_idx,
+           bool_or(bad) AS any_bad
+    FROM argjudge GROUP BY conv_id) j USING (conv_id)),
+slots AS (
+  SELECT r.conv_id, r.turn_idx, it.item
+  FROM rowcls r LEFT JOIN (
+    SELECT conv_id, turn_idx, try_cast(v AS INT) AS item FROM lw WHERE k = 'item'
+  ) it USING (conv_id, turn_idx)
+  WHERE r.role = 'tool_result'),
+path AS (
+  SELECT conv_id,
+    CASE WHEN count(*) > 0 AND NOT (
+      count(item) = count(*) AND min(item) = 0 AND max(item) = count(*) - 1
+      AND count(DISTINCT item) = count(*))
+    THEN 'INVALID_PATH' END AS path_err
+  FROM slots GROUP BY conv_id),
+conv AS (
+  SELECT r.conv_id, bool_or(r.has_tok) AS has_record, count(*) AS n_turns
+  FROM rowcls r GROUP BY r.conv_id),
+judged AS (
+  SELECT conv.conv_id, conv.has_record, conv.n_turns,
+         coalesce(a.m.code, e.execve_err, p.path_err) AS error
+  FROM conv
+  LEFT JOIN adderr a USING (conv_id)
+  LEFT JOIN execve e USING (conv_id)
+  LEFT JOIN path p USING (conv_id))
+"""
+
+
+def _sql_transcript_errors() -> str:
+    return _transcript_cls_sql() + """
+SELECT conv_id, turn_idx, row_err AS error_code, text FROM rowcls WHERE row_err IS NOT NULL
+UNION ALL
+SELECT conv_id, CAST(NULL AS INT) AS turn_idx, error AS error_code,
+       CAST(NULL AS VARCHAR) AS text
+FROM judged WHERE error IN ('REPEATED_RECORD','INVALID_EXECVE','INVALID_PATH')
+"""
+
+
+def _sql_transcript_doc_envelope() -> str:
+    return _transcript_cls_sql() + """
+SELECT conv_id,
+       try_cast(regexp_extract(conv_id, '(\\d+)$', 1) AS BIGINT) // 100 AS doc_id,
+       try_cast(regexp_extract(conv_id, '(\\d+)$', 1) AS BIGINT) AS serial,
+       n_turns, error
+FROM judged WHERE has_record OR error IS NOT NULL
+"""
+
+
+def _sql_transcript_log_batch() -> str:
+    return _transcript_cls_sql() + """
+SELECT serial // 10 AS doc_id,
+       CAST(count(*) AS INT) AS n_events,
+       min(serial) AS first_serial, max(serial) AS last_serial
+FROM (SELECT try_cast(regexp_extract(conv_id, '(\\d+)$', 1) AS BIGINT) AS serial
+      FROM judged WHERE has_record OR error IS NOT NULL)
+GROUP BY 1
+"""
+
+
 def q_transcript_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full transcript pipeline -> json_doc sink (golden-corpus op; verified
-    against the pure-Python oracle in tests/, rows-only here)."""
+    """Full transcript pipeline -> json_doc sink (rows-only here: the doc
+    BYTES are pinned by the committed golden corpus + the Python oracle in
+    tests/; the envelope is oracle-checked via transcript_doc_envelope)."""
     from transcriptpipe import pipeline
 
     return pipeline.build(spark, _synth_df(spark))["json_doc"]
 
 
 def q_transcript_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error sink (row-level + conversation-level codes) — ORACLE-CHECKED:
+    the DuckDB mirror reruns the full classification from the raw fixture."""
     from transcriptpipe import pipeline
 
+    _ensure_fixture()
     return pipeline.build(spark, _synth_df(spark))["error"]
+
+
+def q_transcript_doc_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_doc envelope (conv_id, doc_id, serial, n_turns, error) incl. the
+    P2 empty-event drop and error latching — ORACLE-CHECKED."""
+    from transcriptpipe import pipeline
+
+    _ensure_fixture()
+    return pipeline.build(spark, _synth_df(spark))["json_doc"].select(
+        "conv_id", "doc_id", "serial", "n_turns", "error"
+    )
 
 
 def q_transcript_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,13 +1157,15 @@ def q_transcript_docs_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_transcript_log_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-event log documents (S6 count mode) built from the transcript
-    pipeline's json_doc sink; rows-only (docbatch oracle-checked separately
-    via ev_doc_assemble on the events table)."""
+    pipeline's json_doc sink — ORACLE-CHECKED on the batching envelope
+    (doc_id / n_events / serial range); the wrapped doc bytes are pinned by
+    tests/test_docbatch.py's greedy-oracle and golden equivalence."""
     from transcriptpipe import pipeline
 
+    _ensure_fixture()
     return pipeline.build(
         spark, _synth_df(spark), pipeline.PipeConf(doc_batch=10)
-    )["json_log"]
+    )["json_log"].select("doc_id", "n_events", "first_serial", "last_serial")
 
 
 # --------------------------------------------------------------------------
@@ -984,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_simhash": q_doc_simhash,
+        "doc_simhash_near": q_doc_simhash_near,
         "doc_textstats": q_doc_textstats,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
@@ -995,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_norm_stats": q_emb_norm_stats,
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
+        "transcript_doc_envelope": q_transcript_doc_envelope,
         "transcript_xml": q_transcript_xml,
         "transcript_docs_norm": q_transcript_docs_norm,
         "transcript_log_batch": q_transcript_log_batch,
@@ -1023,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_simhash": SQL_DOC_SIMHASH,
+        "doc_simhash_near": SQL_DOC_SIMHASH_NEAR,
         "doc_textstats": SQL_DOC_TEXTSTATS,
         "doc_quality": SQL_DOC_QUALITY,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
@@ -1032,6 +1281,12 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_cells": _sql_emb_ivf_cells(),
         "emb_near_dups": _sql_emb_near_dups(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
-        # transcript_docs / transcript_errors / transcript_xml: rows-only
-        # (verified against the single-process oracle in tests/)
+        # the full pipeline's error sink, doc envelope, and log batching are
+        # oracle-checked against a DuckDB mirror of the classification run
+        # on the shared synth fixture; only the doc BYTES sinks
+        # (transcript_docs / transcript_xml / transcript_docs_norm) stay
+        # rows-only, pinned by the committed golden corpus + Python oracle
+        "transcript_errors": _sql_transcript_errors(),
+        "transcript_doc_envelope": _sql_transcript_doc_envelope(),
+        "transcript_log_batch": _sql_transcript_log_batch(),
     }

@@ -69,8 +69,20 @@ for _ in range(n_timed):
     secs.append(time.monotonic() - t0); s1 = stat()
     d = [b - a for a, b in zip(s0, s1)]
     steals.append(round(d[7] / max(sum(d), 1), 4))
+# decomposition stage: the all-JVM prefix (scan + broadcast joins + shuffle
+# + Tungsten sort, NO Python render) — separates plan scaling from
+# Python-worker / host-bandwidth effects
+noop(pipeline.jvm_stage_frame(spark, tdf))  # untimed warmup
+jvm_secs, jvm_steals = [], []
+for _ in range(n_timed):
+    s0 = stat(); t0 = time.monotonic()
+    noop(pipeline.jvm_stage_frame(spark, tdf))
+    jvm_secs.append(time.monotonic() - t0); s1 = stat()
+    d = [b - a for a, b in zip(s0, s1)]
+    jvm_steals.append(round(d[7] / max(sum(d), 1), 4))
 print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n, "secs": secs,
-                               "steal": steals}}))
+                               "steal": steals, "jvm_secs": jvm_secs,
+                               "jvm_steal": jvm_steals}}))
 """
 
 
@@ -96,12 +108,17 @@ def run_level(cpus: int, path: str) -> dict:
 
 def _fmt(r: dict) -> dict:
     med = statistics.median(r["secs"])
+    jmed = statistics.median(r["jvm_secs"])
     return {
         "secs": [round(s, 1) for s in r["secs"]],
         "median_sec": round(med, 2),
         "spread": round((max(r["secs"]) - min(r["secs"])) / med, 3),
         "steal": r["steal"],
         "turns_per_sec": round(r["n_turns"] / med, 1),
+        "jvm_secs": [round(s, 1) for s in r["jvm_secs"]],
+        "jvm_median_sec": round(jmed, 2),
+        "jvm_steal": r["jvm_steal"],
+        "jvm_turns_per_sec": round(r["n_turns"] / jmed, 1),
     }
 
 
@@ -122,10 +139,14 @@ def main() -> None:
     levels = {c: _fmt(r) for c, r in raw.items()}
     eff_2_8 = (levels[8]["turns_per_sec"] / levels[2]["turns_per_sec"]) / 4
     eff_8_32 = (levels[32]["turns_per_sec"] / levels[8]["turns_per_sec"]) / 4
+    jeff_2_8 = (levels[8]["jvm_turns_per_sec"] / levels[2]["jvm_turns_per_sec"]) / 4
+    jeff_8_32 = (levels[32]["jvm_turns_per_sec"] / levels[8]["jvm_turns_per_sec"]) / 4
     summary = {
         "levels": levels,
         "scaling_efficiency_2_to_8": round(eff_2_8, 3),
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "jvm_stage_efficiency_2_to_8": round(jeff_2_8, 3),
+        "jvm_stage_efficiency_8_to_32": round(jeff_8_32, 3),
     }
     print(json.dumps(summary))
 
@@ -135,6 +156,14 @@ def main() -> None:
                 f"{', '.join(f'{s:.1f}' for s in r['secs'])} | {r['median_sec']:.1f} | "
                 f"{r['spread']:.1%} | {', '.join(f'{s:.1%}' for s in r['steal'])} | "
                 f"{r['turns_per_sec']:,.0f} |")
+
+    def jrow(c: int) -> str:
+        r = levels[c]
+        return (f"| local[{c}], cores 0-{c - 1} | "
+                f"{', '.join(f'{s:.1f}' for s in r['jvm_secs'])} | "
+                f"{r['jvm_median_sec']:.1f} | "
+                f"{', '.join(f'{s:.1%}' for s in r['jvm_steal'])} | "
+                f"{r['jvm_turns_per_sec']:,.0f} |")
 
     md = f"""# BENCH/BASELINE — measured performance
 
@@ -193,6 +222,31 @@ efficiency vs the local[8] median) — the slow 32-core runs in the same
 session have near-zero steal yet full busy-core accounting, i.e. co-tenant
 memory-bandwidth contention on the physical host, not queueing or skew in
 the plan.
+
+## Decomposing the 8→32 gap: plan scaling vs host bandwidth
+
+The same harness also times the **all-JVM prefix** of the pipeline (scan →
+broadcast dict joins → repartition(conv_id) → Tungsten sortWithinPartitions,
+via `pipeline.jvm_stage_frame` — NO Python render stage), under the same
+pinning/warmup/median rules:
+
+| parallelism | JVM-stage runs (sec) | median | steal/run | turns/sec |
+|---|---|---|---|---|
+{jrow(2)}
+{jrow(8)}
+{jrow(32)}
+
+| pair | full-pipeline efficiency | JVM-stage efficiency |
+|---|---|---|
+| 2 → 8  | {eff_2_8:.3f} | {jeff_2_8:.3f} |
+| 8 → 32 | {eff_8_32:.3f} | {jeff_8_32:.3f} |
+
+Reading: the JVM stage carries the pipeline's only exchange and sort — if
+the PLAN serialized anywhere, it would show here. The gap between the
+JVM-stage efficiency and the full-pipeline efficiency at 8→32 is the
+Python-render/host-bandwidth share of the slowdown (32 single-socket
+workers contending for memory bandwidth), i.e. an environment ceiling a
+real 4N multi-node cluster does not have.
 
 ## Engine comparison (measured 2026-08-16, 1.1M turns, local[32])
 

@@ -214,3 +214,85 @@ def test_ivf_cells_partition_everything(spark, embs):
     cells = similarity.ivf_cells(embs).collect()
     assert sum(r["n_vecs"] for r in cells) == embs.count()
     assert all(0 <= r["cell"] <= 7 for r in cells)
+
+
+def test_embedding_capped_bucket_star_fallback(spark, embs):
+    """VERDICT r2 #3: degenerate inputs (many identical vectors) that blow
+    past max_bucket must still pair — via the fine-signature star (n-1
+    pairs, linear) — with the exact cosine filter still applied."""
+    base = embs.limit(1).collect()[0]["embedding"]
+    clones = spark.createDataFrame(
+        [(200000 + i, [float(x) for x in base]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("label", F.lit("clone"))
+    allv = embs.unionByName(clones)
+    out = dedup.embedding_near_dups(allv, threshold=0.999, max_bucket=20).collect()
+    got = {(r["a_id"], r["b_id"]) for r in out}
+    # the identical group includes the base vector, so the star rep is the
+    # group's min id (the base); every clone pairs with it at cos 1.0
+    rep = embs.limit(1).collect()[0]["vec_id"]
+    for i in range(30):
+        vid = 200000 + i
+        assert (rep, vid) in got or (vid, rep) in got, vid
+    for r in out:
+        assert r["cos_sim"] >= 0.999
+    # observability reports the capped volume
+    stats = dedup.embedding_bucket_stats(allv, max_bucket=20).collect()[0]
+    assert stats["n_capped_buckets"] >= 1
+    assert stats["n_capped_members"] >= 30
+
+
+def test_embedding_cap_noop_below_threshold(spark, embs):
+    """With no over-cap bucket the capped version equals the uncapped one."""
+    a = {(r["a_id"], r["b_id"], r["cos_sim"])
+         for r in dedup.embedding_near_dups(embs, threshold=0.25,
+                                            max_bucket=10**9).collect()}
+    b = {(r["a_id"], r["b_id"], r["cos_sim"])
+         for r in dedup.embedding_near_dups(embs, threshold=0.25).collect()}
+    assert a == b and a
+
+
+def test_simhash_near_pairs_exact_recall(spark, docs):
+    """Pigeonhole blocks guarantee recall 1 below the cap: the distributed
+    result must EQUAL the brute-force all-pairs hamming<=2 set."""
+    small = docs.limit(60)
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash(small).collect()}
+    want = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sims[a] ^ sims[b]).count("1") <= 2:
+                want.add((a, b))
+    got = {(r["a_id"], r["b_id"])
+           for r in dedup.simhash_near_pairs(small, max_hamming=2).collect()}
+    assert got == want
+    assert want  # fixture produces at least one near pair
+
+
+def test_simhash_near_pairs_hot_block_star(spark, docs):
+    """Over-cap blocks fall back to the hamming-0 star: exact-signature
+    duplicates still pair when a block bucket explodes."""
+    dup = docs.limit(25).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.col("text"), *[F.col(c) for c in docs.columns if c not in ("doc_id", "text")]
+    )
+    alld = docs.limit(25).unionByName(dup)
+    out = dedup.simhash_near_pairs(alld, max_hamming=2, max_bucket=10).collect()
+    # the star pairs members with the full-signature group's rep, so equal
+    # docs are transitively connected (possibly via the rep, not directly):
+    # check connectivity, not direct pairs
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in out:
+        parent[find(r["a_id"])] = find(r["b_id"])
+    for r in alld.limit(25).select("doc_id").collect():
+        did = r["doc_id"]
+        if did < 500000:
+            assert find(did) == find(did + 500000), did

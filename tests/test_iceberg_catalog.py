@@ -1,0 +1,112 @@
+"""IcebergCatalog protocol unit tests (mocked writer — the sandbox has no
+Iceberg jars, so the class is exercised against a fake SparkSession that
+replays the Iceberg snapshot-metadata contract). No Spark fixture needed."""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from transcriptpipe import sinks
+
+
+class FakeWriter:
+    def __init__(self, log, table, fail_append_once):
+        self.log = log
+        self.table = table
+        self.opts = {}
+        self.fail_append_once = fail_append_once
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def using(self, fmt):
+        self.log.append(("using", fmt))
+        return self
+
+    def append(self):
+        if self.fail_append_once and not any(
+            op == "create" and t == self.table for op, t, *_ in self.log
+            if isinstance(t, str)
+        ):
+            self.log.append(("append-failed", self.table))
+            raise RuntimeError("Table or view not found")
+        self.log.append(("append", self.table, dict(self.opts)))
+
+    def create(self):
+        self.log.append(("create", self.table, dict(self.opts)))
+
+
+class FakeDF:
+    def __init__(self, log, fail_append_once=False):
+        self.log = log
+        self.fail_append_once = fail_append_once
+
+    def writeTo(self, table):
+        return FakeWriter(self.log, table, self.fail_append_once)
+
+
+class FakeSpark:
+    """Replays `SELECT ... FROM <tbl>.snapshots` from an in-memory dict."""
+
+    def __init__(self):
+        self.snapshots: dict[str, list] = {}
+        self.conf = SimpleNamespace(get=lambda k, d=None: "")
+
+    def sql(self, q):
+        tbl = q.split(" FROM ")[1].split(".snapshots")[0]
+        rows = self.snapshots.get(tbl)
+        if rows is None:
+            raise RuntimeError(f"Table {tbl} not found")
+        return SimpleNamespace(collect=lambda: rows)
+
+    def commit(self, tbl, run_id, sid=1):
+        self.snapshots.setdefault(tbl, []).append(
+            {"snapshot_id": sid, "summary": {"run-id": run_id}}
+        )
+
+
+def test_write_stamps_run_id_and_resumes():
+    fs = FakeSpark()
+    cat = sinks.IcebergCatalog(fs, namespace="ns", catalog_name="cat")
+    log: list = []
+    df = FakeDF(log)
+    fs.snapshots["cat.ns.json_doc"] = []  # table exists, no snapshots
+
+    assert not cat.committed("r1", "json_doc")
+    cat.write(df, "json_doc", "r1", source_snapshot="src-9")
+    op, table, opts = log[0]
+    assert (op, table) == ("append", "cat.ns.json_doc")
+    assert opts["snapshot-property.run-id"] == "r1"
+    assert opts["snapshot-property.source-snapshot"] == "src-9"
+
+    # once the snapshot metadata carries run-id, the rewrite is a no-op
+    fs.commit("cat.ns.json_doc", "r1")
+    assert cat.committed("r1", "json_doc")
+    assert cat.write(df, "json_doc", "r1") is None
+    assert len([e for e in log if e[0] == "append"]) == 1
+    # a different run_id still writes
+    cat.write(df, "json_doc", "r2")
+    assert len([e for e in log if e[0] == "append"]) == 2
+
+
+def test_first_write_creates_table():
+    fs = FakeSpark()  # no snapshots entry -> metadata query raises
+    cat = sinks.IcebergCatalog(fs, namespace="ns", catalog_name="cat")
+    log: list = []
+    cat.write(FakeDF(log, fail_append_once=True), "error", "r1")
+    assert ("using", "iceberg") in log
+    assert any(e[0] == "create" for e in log)
+
+
+def test_catalog_for_selection(tmp_path):
+    fs = FakeSpark()
+    assert isinstance(sinks.catalog_for(fs, str(tmp_path)), sinks.SinkCatalog)
+    fs.conf = SimpleNamespace(
+        get=lambda k, d=None: "org.apache.iceberg.spark.extensions."
+                              "IcebergSparkSessionExtensions"
+    )
+    assert isinstance(sinks.catalog_for(fs, str(tmp_path)), sinks.IcebergCatalog)
+    assert isinstance(
+        sinks.catalog_for(fs, str(tmp_path), prefer="manifest"), sinks.SinkCatalog
+    )

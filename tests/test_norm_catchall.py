@@ -218,3 +218,42 @@ def test_hot_conversation_cap_batch(spark, engine):
     # oracle agrees
     out = oracle.run_pipeline([r for r in rows], max_turns_per_conv=16)
     assert out["json_doc"][0]["n_turns"] == 16 and out["json_doc"][0]["trimmed"]
+
+
+def test_fold_levels(spark, mixed_df):
+    """F8 intermediate fold levels (ref lib/gbuf.c:242-280, defaults
+    lib/conf.c:183): level<=N unfolds one-node-per-line, deeper folds to a
+    single line; 0 == compact; huge == json.dumps full unfold."""
+    from transcriptpipe import render
+
+    sinks = pipeline.build(spark, mixed_df,
+                           pipeline.PipeConf(persist=False, with_norm=True))
+    compact = {r["conv_id"]: r["doc"] for r in sinks["json_doc"].collect()}
+    lvl1 = {r["conv_id"]: r["doc"]
+            for r in render.prettify_json(sinks["json_doc"], indent=2,
+                                          fold_level=1).collect()}
+    lvl99 = {r["conv_id"]: r["doc"]
+             for r in render.prettify_json(sinks["json_doc"], indent=2,
+                                           fold_level=99).collect()}
+    for cid, c in compact.items():
+        obj = json.loads(c)
+        # semantic identity at every level
+        assert json.loads(lvl1[cid]) == obj
+        assert json.loads(lvl99[cid]) == obj
+        # level 1: top-level members each on a line; nested containers inline
+        for line in lvl1[cid].splitlines()[1:-1]:
+            assert line.startswith("  ")
+        assert lvl1[cid].count("\n") == len(obj) + 1
+        # full unfold == json.dumps(indent=2)
+        assert lvl99[cid] == json.dumps(obj, ensure_ascii=False, indent=2)
+        # fold_level=0 == compact
+        assert render.dumps_folded(obj, 0) == c
+    # XML: level 1 puts <text>/<data> on their own lines, <line> inline
+    import xml.etree.ElementTree as ET
+
+    px = {r["conv_id"]: r["doc"]
+          for r in render.prettify_xml(sinks["xml_doc"], fold_level=1).collect()}
+    for cid, x in px.items():
+        ET.fromstring(x)
+        assert "\n  <text><line>" in x or "<data>" in x
+        assert "\n    " not in x  # nothing deeper than level 1 unfolds

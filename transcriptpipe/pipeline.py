@@ -236,6 +236,30 @@ def rendered_frame(spark: SparkSession, transcripts: DataFrame,
     )
 
 
+def jvm_stage_frame(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """The all-JVM prefix of the default pipeline — scan → two broadcast
+    dict joins → repartition(conv_id) → Tungsten sortWithinPartitions —
+    WITHOUT the Python render stage. Used by the scaling harness to separate
+    plan scaling from single-host memory-bandwidth effects: if this stage
+    scales across core counts while the full pipeline does not, the gap is
+    Python-worker/host bandwidth, not plan serialization."""
+    from . import arrow_docs
+
+    enriched = enrich.enrich_roles(transcripts, enrich.role_dict_df(spark))
+    enriched = enriched.join(
+        F.broadcast(enrich.tool_dict_df(spark)),
+        enriched["tool"] == F.col("tool_code"),
+        "left",
+    ).drop("tool_code", "tool_kind")
+    n_parts = spark.sparkContext.defaultParallelism * arrow_docs.PART_MULT
+    return (
+        enriched.select("conv_id", "turn_idx", "role_name", "text",
+                        "tool", "tool_name", "ts")
+        .repartition(n_parts, "conv_id")
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+
+
 def run(spark: SparkSession, transcripts: DataFrame, catalog, run_id: str,
         conf: PipeConf | None = None, source_snapshot: str | None = None) -> dict:
     """End-to-end committed run: build sinks, write each through the catalog
@@ -249,10 +273,13 @@ def run(spark: SparkSession, transcripts: DataFrame, catalog, run_id: str,
     import os
 
     conf = conf or PipeConf()
-    if conf.stage_dir is None and conf.engine == "arrow":
+    if (conf.stage_dir is None and conf.engine == "arrow"
+            and os.sep in getattr(catalog, "root", "")):
         # stage the rendered frame under the warehouse so the four sink
         # writes are projections, not recomputations (and a resumed run
-        # reuses nothing stale: staging is per run_id)
+        # reuses nothing stale: staging is per run_id). Path-rooted catalogs
+        # only: an IcebergCatalog's root is a table namespace — set
+        # conf.stage_dir explicitly (a staging table/location) there.
         conf = replace(conf, stage_dir=os.path.join(catalog.root, "_staging", run_id))
     frames = build(spark, transcripts, conf)
     results = {}

@@ -300,47 +300,100 @@ def render_xml(json_docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------ pretty-print (F8) --
 
-def prettify_json(json_docs: DataFrame, indent: int = 2) -> DataFrame:
+def dumps_folded(obj, fold_level: int, nest_indent: int = 4,
+                 init_indent: int = 0, _level: int = 0) -> str:
+    """JSON rendering with the reference's fold semantics
+    (lib/gbuf.c:242-280 space_opening/space_closing; defaults
+    lib/conf.c:183-190 fold_level=4 nest_indent=4): a node at nesting level
+    <= fold_level starts on its own line indented
+    ``init_indent + nest_indent * level`` spaces; anything deeper is folded
+    into a single compact line. fold_level=0 == compact ("fold all");
+    a huge fold_level == full unfold (byte-equal to json.dumps(indent=...)
+    modulo the indent width)."""
+    import json as _json
+
+    if not isinstance(obj, (dict, list)) or not obj:
+        return _json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+    child = _level + 1
+    if child > fold_level:  # children fold into one line (space_opening no-op)
+        return _json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+    pad = " " * (init_indent + nest_indent * child)
+    close_pad = " " * (init_indent + nest_indent * _level)
+    if isinstance(obj, dict):
+        body = ",\n".join(
+            f"{pad}{_json.dumps(k, ensure_ascii=False)}: "
+            f"{dumps_folded(v, fold_level, nest_indent, init_indent, child)}"
+            for k, v in obj.items()
+        )
+        return "{\n" + body + "\n" + close_pad + "}"
+    body = ",\n".join(
+        f"{pad}{dumps_folded(v, fold_level, nest_indent, init_indent, child)}"
+        for v in obj
+    )
+    return "[\n" + body + "\n" + close_pad + "]"
+
+
+def prettify_json(json_docs: DataFrame, indent: int = 2,
+                  fold_level: int | None = None) -> DataFrame:
     """F8 fold/indent analog (reference --fold/--indent, lib/gbuf.c space
-    helpers): re-render the doc column fully unfolded with `indent` spaces
-    per nesting level. A presentation-only pass over the sink (canonical
-    compact form stays the comparison target); fold levels between 0
-    (compact, the default output) and full unfold are not implemented —
-    documented divergence, SURVEY.md §2.8."""
+    helpers): re-render the doc column pretty-printed with `indent` spaces
+    per nesting level. ``fold_level=None`` unfolds fully (reference
+    --fold=none); an integer N unfolds only nesting levels <= N and keeps
+    deeper structures on one line (the reference's intermediate fold
+    levels, default 4 in lib/conf.c:183). A presentation-only pass over the
+    sink — the canonical compact form stays the comparison target."""
 
     @pandas_udf(T.StringType())
     def pretty(doc: pd.Series) -> pd.Series:
         import json
 
-        return doc.map(lambda j: json.dumps(json.loads(j), ensure_ascii=False,
-                                            indent=indent))
+        if fold_level is None:
+            return doc.map(lambda j: json.dumps(json.loads(j),
+                                                ensure_ascii=False,
+                                                indent=indent))
+        return doc.map(
+            lambda j: dumps_folded(json.loads(j), fold_level, nest_indent=indent)
+        )
 
     return json_docs.withColumn("doc", pretty("doc"))
 
 
-@pandas_udf(T.StringType())
-def _pretty_xml(doc: pd.Series) -> pd.Series:
+def _fold_xml(x: str, fold_level: float, indent: int = 2) -> str:
+    """XML fold with the reference's level semantics (gbuf.c:242-280): an
+    element at nesting level <= fold_level starts on its own line; deeper
+    elements stay inline. Closing tags take their own line exactly when
+    their children were unfolded (space_closing: level+1 <= fold_level)."""
     import re as _re2
 
-    def fold(x: str) -> str:
-        # newline between sibling elements; indent by depth
-        out, depth = [], 0
-        for tok in _re2.split(r"(<[^>]+>)", x):
-            if not tok:
-                continue
-            if tok.startswith("</"):
-                depth -= 1
-                out.append("\n" + "  " * depth + tok)
-            elif tok.startswith("<") and not tok.endswith("/>") and "</" not in tok:
-                out.append("\n" + "  " * depth + tok)
-                depth += 1
+    out, depth = [], 0
+    pad = " " * indent
+    for tok in _re2.split(r"(<[^>]+>)", x):
+        if not tok:
+            continue
+        if tok.startswith("</"):
+            depth -= 1
+            if depth + 1 <= fold_level:
+                out.append("\n" + pad * depth + tok)
             else:
                 out.append(tok)
-        return "".join(out).lstrip("\n")
+        elif tok.startswith("<") and not tok.endswith("/>") and "</" not in tok:
+            if depth <= fold_level:
+                out.append("\n" + pad * depth + tok)
+            else:
+                out.append(tok)
+            depth += 1
+        else:
+            out.append(tok)
+    return "".join(out).lstrip("\n")
 
-    return doc.map(fold)
 
+def prettify_xml(xml_docs: DataFrame, fold_level: int | None = None) -> DataFrame:
+    """XML fold: one element per line up to ``fold_level`` (None = unfold
+    fully, reference --fold=none), two-space nesting indent."""
+    lvl = float("inf") if fold_level is None else fold_level
 
-def prettify_xml(xml_docs: DataFrame) -> DataFrame:
-    """XML fold: one element per line, two-space nesting indent."""
-    return xml_docs.withColumn("doc", _pretty_xml("doc"))
+    @pandas_udf(T.StringType())
+    def pretty(doc: pd.Series) -> pd.Series:
+        return doc.map(lambda x: _fold_xml(x, lvl))
+
+    return xml_docs.withColumn("doc", pretty("doc"))

@@ -113,3 +113,111 @@ class SinkCatalog:
 
     def total_rows(self, table: str) -> int:
         return sum(s["n_rows"] for s in self.manifest(table)["snapshots"])
+
+
+class IcebergCatalog:
+    """The production SinkCatalog: every sink is an Iceberg table, a run
+    appends ONE snapshot per sink stamped with ``run-id`` in the snapshot
+    summary, and ``committed(run_id, table)`` reads the table's snapshot
+    metadata — the same exactly-once contract SinkCatalog emulates with
+    JSON manifests, but on real snapshot lineage (time travel, compaction,
+    and concurrent readers come for free).
+
+    Cluster config (documented; the sandbox has no Iceberg jars, so this
+    class is selected by ``catalog_for`` only when the session carries the
+    Iceberg extension):
+
+        spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+        spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog
+        spark.sql.catalog.<name>.type=hive | hadoop | rest
+        spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<ver>
+
+    Reference analog: the reference's output commit discipline is one
+    atomic write per completed document stream (src/aushape.c single-shot
+    convert); snapshot-per-run is the table-format equivalent."""
+
+    def __init__(self, spark: SparkSession, namespace: str = "transcriptpipe",
+                 catalog_name: str = "spark_catalog"):
+        self.spark = spark
+        self.namespace = namespace
+        self.catalog_name = catalog_name
+        self.root = f"{catalog_name}.{namespace}"  # SinkCatalog-protocol attr
+
+    def _qualified(self, table: str) -> str:
+        return f"{self.catalog_name}.{self.namespace}.{table}"
+
+    # ---------------------------------------------------------- manifest --
+    def _snapshots(self, table: str):
+        """Rows of the Iceberg snapshots metadata table ([] if the table
+        does not exist yet)."""
+        try:
+            return self.spark.sql(
+                f"SELECT snapshot_id, summary FROM {self._qualified(table)}.snapshots"
+            ).collect()
+        except Exception:
+            return []
+
+    def committed(self, run_id: str, table: str) -> bool:
+        return any(
+            (s["summary"] or {}).get("run-id") == run_id
+            for s in self._snapshots(table)
+        )
+
+    # ------------------------------------------------------------- write --
+    def write(self, df: DataFrame, table: str, run_id: str,
+              source_snapshot: str | None = None) -> dict | None:
+        """Append one snapshot stamped with run-id (and the source snapshot
+        for lineage). No-op if the run_id is already committed — the same
+        resume path as SinkCatalog.write."""
+        if self.committed(run_id, table):
+            return None
+        writer = (
+            df.writeTo(self._qualified(table))
+            .option("snapshot-property.run-id", run_id)
+            .option("snapshot-property.source-snapshot", source_snapshot or "")
+        )
+        try:
+            writer.append()
+        except Exception:
+            # first write: create the table (partitioning/sort order can be
+            # ALTERed afterwards; sinks are append-only)
+            writer.using("iceberg").create()
+        snap = next(
+            (s for s in self._snapshots(table)
+             if (s["summary"] or {}).get("run-id") == run_id),
+            None,
+        )
+        return {
+            "id": snap["snapshot_id"] if snap else None,
+            "run_id": run_id,
+            "source_snapshot": source_snapshot,
+            "operation": "append",
+        }
+
+    # -------------------------------------------------------------- read --
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        return spark.read.table(self._qualified(table))
+
+    def total_rows(self, table: str) -> int:
+        return self.spark.read.table(self._qualified(table)).count()
+
+
+def has_iceberg(spark: SparkSession) -> bool:
+    """True when the session was launched with the Iceberg extension (the
+    jar-detection gate for catalog_for)."""
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        return False
+    return "IcebergSparkSessionExtensions" in ext
+
+
+def catalog_for(spark: SparkSession, root: str, prefer: str | None = None):
+    """Pick the sink catalog: IcebergCatalog when the session carries the
+    Iceberg extension (or prefer='iceberg'), else the manifest-emulated
+    SinkCatalog over ``root``. ``prefer='manifest'`` forces the fallback."""
+    if prefer == "manifest":
+        return SinkCatalog(root)
+    if prefer == "iceberg" or (prefer is None and has_iceberg(spark)):
+        return IcebergCatalog(spark)
+    return SinkCatalog(root)

@@ -83,6 +83,9 @@ def main() -> None:
         noop_write(sinks["xml_doc"])
         noop_write(sinks["error"])
         runs.append(time.monotonic() - t0)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     pipe_sec = min(runs)
     timings["transcript_pipeline"] = round(pipe_sec, 3)
     turns_per_sec = n_turns / pipe_sec

@@ -248,14 +248,15 @@ Python-render/host-bandwidth share of the slowdown (32 single-socket
 workers contending for memory bandwidth), i.e. an environment ceiling a
 real 4N multi-node cluster does not have.
 
-## Engine comparison (measured 2026-08-16, 1.1M turns, local[32])
+## Engine comparison (measured 2026-08-16 round 3, 1.1M turns, local[32])
 
-json_doc sink, noop writer, warm JVM, 2 runs each:
+Rendered frame (JSON+XML+errors), noop writer, warm JVM:
 
 | engine | runs (sec) | notes |
 |---|---|---|
-| arrow (default) | 7.5, 5.4 | sorted-stream shuffle + ONE vectorized Arrow pass (assemble+trim+render) |
-| expr (all-JVM)  | 60.0, 59.9 | Catalyst higher-order-function lambdas run in the interpreted evaluator (no codegen for HOFs) — kept as the semantics/verification path, byte-equal to arrow by test |
+| arrow (default, fused kernel) | 4.4, 3.3, 3.1 | sorted-stream shuffle + ONE fused pass (tokenize→collect→validate→render JSON+XML in a single loop; per-batch vectorized XML text escaping). Round 2 measured 7.5, 5.4 on the same input — kernel-level speedup is 2.2-2.8x (tools/profile_render.py, 31.2k → 68-87k turns/sec/core); the 32-core stage gain is smaller because the host memory-bandwidth ceiling, scan and shuffle take a growing share |
+| arrow, --lang json (XML skipped) | 3.1, 2.9 | the kernel skips XML assembly entirely when the language is deselected |
+| expr (all-JVM)  | 66.0 | Catalyst higher-order-function lambdas run in the interpreted evaluator (no codegen for HOFs) — kept as the semantics/verification path, byte-equal to arrow by test |
 
 ## Reference comparison
 

@@ -81,3 +81,29 @@ def test_pipeline_output_validates_against_schema(spark, tiny_df):
     )
     for r in sinks["json_doc"].collect():
         docschema.validate_doc(r["doc"])
+
+
+def test_golden_xml_validates_against_structure(golden_docs):
+    """XSD analog (ref lib/aushape.xsd): every golden XML doc conforms to
+    the declared <event> element layout, not merely well-formedness."""
+    for g in golden_docs:
+        docschema.validate_xml_doc(g["xml"])
+
+
+def test_xml_structure_validator_rejects_malformed():
+    import pytest as _pytest
+
+    bad = [
+        '<wrong serial="1" time="2026-01-01T00:00:00.000Z"></wrong>',
+        '<event time="2026-01-01T00:00:00.000Z"></event>',          # no serial
+        '<event serial="1" time="bad"></event>',                    # bad time
+        '<event serial="1" time="2026-01-01T00:00:00.000Z" error="NOPE"></event>',
+        '<event serial="1" time="2026-01-01T00:00:00.000Z"><data/><text/></event>',
+        '<event serial="1" time="2026-01-01T00:00:00.000Z">'
+        '<data><user><x/></user></data></event>',                   # non-<f> child
+        '<event serial="1" time="2026-01-01T00:00:00.000Z">'
+        '<data><user><f><v>a</v></f></user></data></event>',        # unnamed <f>
+    ]
+    for x in bad:
+        with _pytest.raises(docschema.XmlSchemaError):
+            docschema.validate_xml_doc(x)

@@ -87,3 +87,95 @@ def validate_doc(doc_json: str) -> None:
     import jsonschema
 
     jsonschema.validate(json.loads(doc_json), EVENT_DOC_SCHEMA)
+
+
+# ------------------------------------------------------- XML structure ----
+# Structural contract for the XML rendering — the analog of the reference's
+# 760-line XSD (/root/reference/lib/aushape.xsd): element layout
+# <event serial time [error] [trimmed]> <text><line/>*</text>?
+# <data><role><f name><v/>+</f>*</role>* [<args><a/>*] [<tools><t/>*]</data>?
+# <norm><f name><v/>*</f>*</norm>? </event>.
+#
+# Documented divergence: the reference's optional per-event ``node`` (host)
+# attribute (lib/conv_buf.c:413-417) has no analog here — the input_hint
+# table carries no host column, so there is nothing to populate it with.
+
+import re as _re
+
+_TIME_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z$")
+_ERRORS = {"INVALID_EXECVE", "INVALID_PATH", "REPEATED_RECORD",
+           "INVALID_HEX", "UNKNOWN_TOOL", "PARSE_FAIL"}
+
+
+class XmlSchemaError(ValueError):
+    pass
+
+
+def _fail(msg: str) -> None:
+    raise XmlSchemaError(msg)
+
+
+def _check_fields_elem(el) -> None:
+    """<f name="..."><v>..</v>{1,2}</f>* — the fields rendering
+    (ref lib/field.c:116-130 value arrays)."""
+    for f in el:
+        if f.tag != "f":
+            _fail(f"<{el.tag}> may contain only <f>, got <{f.tag}>")
+        if "name" not in f.attrib or not f.attrib["name"]:
+            _fail("<f> requires a non-empty name attribute")
+        vs = list(f)
+        if not vs or any(v.tag != "v" for v in vs) or len(vs) > 2:
+            _fail(f"<f name={f.attrib.get('name')}> must hold 1-2 <v> children")
+
+
+def validate_xml_doc(xml: str) -> None:
+    """Raise XmlSchemaError (or ParseError) unless the string conforms to
+    the <event> layout above. Used by tests on every emitted XML doc —
+    well-formedness AND structure, completing the §1.3 schema-declaration
+    analog for the XML language."""
+    import xml.etree.ElementTree as ET
+
+    ev = ET.fromstring(xml)
+    if ev.tag != "event":
+        _fail(f"root must be <event>, got <{ev.tag}>")
+    attrs = set(ev.attrib)
+    if not {"serial", "time"} <= attrs:
+        _fail("<event> requires serial and time attributes")
+    if extra := attrs - {"serial", "time", "error", "trimmed"}:
+        _fail(f"unknown <event> attributes: {sorted(extra)}")
+    if ev.attrib["serial"] != "None" and not ev.attrib["serial"].lstrip("-").isdigit():
+        _fail(f"serial must be an integer or None, got {ev.attrib['serial']!r}")
+    if not _TIME_RE.match(ev.attrib["time"]):
+        _fail(f"bad time format: {ev.attrib['time']!r}")
+    if "error" in attrs and ev.attrib["error"] not in _ERRORS:
+        _fail(f"unknown error code {ev.attrib['error']!r}")
+    if "trimmed" in attrs and ev.attrib["trimmed"] != "true":
+        _fail("trimmed attribute must be 'true'")
+
+    order = {"text": 0, "data": 1, "norm": 2}
+    last = -1
+    for child in ev:
+        if child.tag not in order:
+            _fail(f"unknown <event> child <{child.tag}>")
+        if order[child.tag] <= last:
+            _fail(f"<{child.tag}> out of order or repeated")
+        last = order[child.tag]
+        if child.tag == "text":
+            if any(line.tag != "line" for line in child):
+                _fail("<text> may contain only <line>")
+        elif child.tag == "data":
+            for role in child:
+                if role.tag == "args":
+                    if any(a.tag != "a" for a in role):
+                        _fail("<args> may contain only <a>")
+                elif role.tag == "tools":
+                    if any(t.tag != "t" for t in role):
+                        _fail("<tools> may contain only <t>")
+                else:
+                    _check_fields_elem(role)
+        else:  # norm: <f name><v>*</f>* (values unbounded: object_attrs)
+            for f in child:
+                if f.tag != "f" or "name" not in f.attrib:
+                    _fail("<norm> may contain only named <f>")
+                if any(v.tag != "v" for v in f):
+                    _fail("<norm> <f> may contain only <v>")

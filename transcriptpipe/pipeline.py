@@ -142,7 +142,13 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
         # the doc row), so parse+coalesce+render must run once even though
         # the four sinks are materialized as separate actions
         if conf.stage_dir:
-            rendered.write.mode("overwrite").parquet(conf.stage_dir)
+            # staging is transient per-run scratch read a handful of times
+            # and discarded — cheap codec (lz4) beats the session's durable
+            # zstd here (measured: stage-write 6.3s zstd vs 4.1s lz4, sink
+            # projections 1.5s vs 0.6s at 1.1M turns); the real sinks keep
+            # the session codec through catalog.write
+            (rendered.write.mode("overwrite")
+             .option("compression", "lz4").parquet(conf.stage_dir))
             rendered = spark.read.parquet(conf.stage_dir)
         elif conf.persist:
             from pyspark import StorageLevel

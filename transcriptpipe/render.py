@@ -173,11 +173,6 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
 
 
 _XML_CONTROL = {i: f"&#x{i:X};" for i in range(0x20) if chr(i) not in "\t\n\r"}
-_XML_ESCAPES = {**_XML_CONTROL,
-                ord("&"): "&amp;", ord("<"): "&lt;", ord(">"): "&gt;",
-                ord('"'): "&quot;", ord("'"): "&apos;"}
-
-
 import re as _re
 
 _XML_NEEDS_ESCAPE = _re.compile(r"[&<>\"'\x00-\x08\x0b\x0c\x0e-\x1f]")

@@ -173,3 +173,62 @@ def test_max_text_lines_is_tight(texts, budget):
         assert cost(k) <= budget
     if k < len(texts):
         assert cost(k + 1) > budget
+
+
+# ---------------------------------------------------------------------------
+# fastkernel <-> oracle equivalence over randomized grammar (round 3): the
+# fused kernel must agree with the boring oracle path for ARBITRARY token
+# streams, roles, quoting, hex payloads, and trim budgets — not only the
+# synth fixtures.
+
+_TOKEN_KEY = st.one_of(
+    st.sampled_from(["msg", "seq", "hex", "item", "argc", "a0", "a1",
+                     "a0_len", "a0[0]", "a0[1]", "policy"]),
+    WORD,
+)
+_TOKEN_VAL = st.one_of(
+    WORD,
+    st.sampled_from(["41", "4142", "ZZ", "0", "1", "2", '"a b"',
+                     '"q\\"x"', '"\\\\"', "C3A9", "414"]),
+    st.text(min_size=1, max_size=10).filter(lambda s: not s.isspace()),
+)
+_ROLE = st.sampled_from(["user", "assistant", "system", "tool_call",
+                         "tool_result", "EOE", "Narrator", "narrator",
+                         "System", "Args"])
+_TEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("   "),
+    st.just(";;; no tokens here ;;;"),
+    st.lists(
+        st.tuples(_TOKEN_KEY, _TOKEN_VAL), min_size=0, max_size=5
+    ).map(lambda kvs: " ".join(f"{k}={v}" for k, v in kvs)),
+)
+
+
+@given(
+    rows=st.lists(st.tuples(_ROLE, _TEXT, st.sampled_from([None, "T01", "T99"])),
+                  min_size=1, max_size=10),
+    cap=st.sampled_from([None, 60, 200, 8192]),
+    with_text=st.booleans(),
+    with_norm=st.booleans(),
+    capped=st.booleans(),
+)
+@settings(max_examples=250, deadline=None)
+def test_fastkernel_equals_oracle_property(rows, cap, with_text, with_norm,
+                                           capped):
+    from tests.test_fastkernel import oracle_render
+    from transcriptpipe import fastkernel
+
+    tool_map = oracle.TOOL_MAP
+    tup = [
+        (i, role, text, tool, tool_map.get(tool) if tool else None)
+        for i, (role, text, tool) in enumerate(rows)
+    ]
+    want = oracle_render("conv-00000077", tup, BASE, capped, cap, 100,
+                         with_text, with_norm)
+    got = fastkernel.render_conv("conv-00000077", tup, BASE, capped, cap, 100,
+                                 with_text, with_norm)
+    assert (want is None) == (got is None)
+    if want is not None:
+        assert got == want

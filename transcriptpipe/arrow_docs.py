@@ -222,16 +222,16 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
         render_conv = fastkernel.render_conv
         carry_key: str | None = None
         carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name)]
-        carry_ts: list | None = None
+        carry_min_us: int | None = None
         carry_frags: list | None = None
         carry_capped = False
         out: list[dict] = []
 
-        def flush(key: str, rows: list[tuple], tss: list, frags: list,
+        def flush(key: str, rows: list[tuple], min_us: int, frags,
                   capped: bool) -> None:
-            rec = render_conv(key, rows, min(tss), capped,
-                              max_doc_bytes, events_per_doc, with_text,
-                              with_norm, xml_line_frags=frags,
+            rec = render_conv(key, rows, pd.Timestamp(min_us, unit="us"),
+                              capped, max_doc_bytes, events_per_doc,
+                              with_text, with_norm, xml_line_frags=frags,
                               want_xml=want_xml)
             if rec is not None:
                 out.append(rec)
@@ -248,6 +248,11 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 if carry_key is not None and carry_key in capped_ids:
                     carry_capped = True
             ids = pdf["conv_id"].to_numpy()
+            n = len(ids)
+            if n == 0:
+                if carry_key is not None and carry_key in capped_ids:
+                    carry_capped = True  # batch held only over-cap rows
+                continue
             data = list(zip(
                 pdf["turn_idx"].to_numpy().tolist(),
                 pdf["role_name"].to_numpy().tolist(),
@@ -255,43 +260,45 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 pdf["tool"].to_numpy().tolist(),
                 pdf["tool_name"].to_numpy().tolist(),
             ))
-            tss = pdf["ts"].tolist()  # pd.Timestamps: .year/.microsecond/min all work
             frags_all = (fastkernel.xml_lines_vectorized(pdf["text"])
-                         if want_xml else [None] * len(pdf))
+                         if want_xml else None)
             caps = pdf["turn_capped"].tolist() if has_cap else None
-            i = 0
-            n = len(ids)
-            while i < n:
-                j = i
+            # vectorized group boundaries + per-group min(ts): ONE numpy pass
+            # instead of materializing 10^5 pd.Timestamp objects per batch
+            starts = np.flatnonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1]))
+            )
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").view("i8")
+            mins = np.minimum.reduceat(ts_us, starts)
+            for g in range(len(starts)):
+                i = int(starts[g])
+                j = int(starts[g + 1]) if g + 1 < len(starts) else n
                 key = ids[i]
-                while j < n and ids[j] == key:
-                    j += 1
                 rows = data[i:j]
-                row_ts = tss[i:j]
-                row_frags = frags_all[i:j]
+                row_frags = frags_all[i:j] if frags_all is not None else None
+                min_us = int(mins[g])
                 kc = key in capped_ids or bool(caps and caps[i] is not None and caps[i])
                 if carry_key is not None and key == carry_key:
                     rows = carry + rows
-                    row_ts = carry_ts + row_ts
-                    row_frags = carry_frags + row_frags
+                    if row_frags is not None:
+                        row_frags = carry_frags + row_frags
+                    min_us = min(min_us, carry_min_us)
                     kc = kc or carry_capped
                 elif carry_key is not None:
-                    flush(carry_key, carry, carry_ts, carry_frags, carry_capped)
+                    flush(carry_key, carry, carry_min_us, carry_frags,
+                          carry_capped)
                 if j == n:  # group may continue in the next batch
-                    carry_key, carry, carry_ts, carry_frags, carry_capped = (
-                        key, rows, row_ts, row_frags, kc)
+                    carry_key, carry, carry_min_us, carry_frags, carry_capped = (
+                        key, rows, min_us, row_frags, kc)
                 else:
-                    flush(key, rows, row_ts, row_frags, kc)
-                    carry_key, carry, carry_ts, carry_frags, carry_capped = (
+                    flush(key, rows, min_us, row_frags, kc)
+                    carry_key, carry, carry_min_us, carry_frags, carry_capped = (
                         None, None, None, None, False)
-                i = j
-            if n == 0 and carry_key is not None and carry_key in capped_ids:
-                carry_capped = True  # batch held only this conv's over-cap rows
             if len(out) >= 256:
                 yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
                 out = []
         if carry_key is not None:
-            flush(carry_key, carry, carry_ts, carry_frags, carry_capped)
+            flush(carry_key, carry, carry_min_us, carry_frags, carry_capped)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
 

@@ -79,20 +79,26 @@ def minhash_signature(df: DataFrame, id_col: str = "doc_id",
 
 def _banded(df: DataFrame, id_col: str, text_col: str, k: int, bands: int
             ) -> tuple[DataFrame, DataFrame]:
-    """(signature frame, banded frame (id, band_id, band))."""
+    """(signature frame, banded frame (id, band_id, band)).
+
+    Banding is ONE explode over an inline band-struct array — not a union of
+    per-band selects, which plans as `bands` copies of the signature
+    aggregation (the shingle explode + groupBy, the expensive part) unless
+    exchange reuse happens to kick in. The explode guarantees the signature
+    aggregates once."""
     rows = k // bands
     sig = minhash_signature(df, id_col, text_col, k)
-    band_cols = [
-        F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])).alias("band")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+                  ).alias("band"),
+        )
         for b in range(bands)
-    ]
-    parts = [
-        sig.select(F.col(id_col), F.lit(b).alias("band_id"), band_cols[b])
-        for b in range(bands)
-    ]
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+    ])
+    banded = sig.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, "bb.band_id", "bb.band")
     return sig, banded
 
 
@@ -215,20 +221,21 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
     sim = simhash(df, id_col, text_col, bits)
     blocks = max_hamming + 1
     w = bits // blocks
-    parts = []
-    for bl in range(blocks):
+
+    def _block(bl: int) -> Column:
         lo = bl * w
         width = (bits - lo) if bl == blocks - 1 else w
-        mask = (1 << width) - 1
-        parts.append(
-            sim.select(
-                F.col(id_col), F.col("simhash"), F.lit(bl).alias("block_id"),
-                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("block"),
-            )
-        )
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionByName(p)
+        return F.shiftright("simhash", lo).bitwiseAND(F.lit((1 << width) - 1))
+
+    # one explode, not a union of selects — the signature (explode+groupBy)
+    # aggregates once regardless of exchange reuse
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(F.lit(bl).alias("block_id"), _block(bl).alias("block"))
+            for bl in range(blocks)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.block_id", "bb.block")
     sizes = banded.groupBy("block_id", "block").agg(F.count("*").alias("c"))
     sized = banded.join(sizes, ["block_id", "block"])
 

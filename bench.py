@@ -90,6 +90,23 @@ def main() -> None:
     timings["transcript_pipeline"] = round(pipe_sec, 3)
     turns_per_sec = n_turns / pipe_sec
 
+    # --lang json variant: XML assembly skipped inside the kernel (PipeConf
+    # .langs) — the single-language user's cost, reported alongside
+    jruns = []
+    for i in range(2):
+        stage = tempfile.mkdtemp(prefix="tp_stage_")
+        t0 = time.monotonic()
+        sinks = pipeline.build(
+            spark, tdf, pipeline.PipeConf(stage_dir=stage, langs=("json",))
+        )
+        noop_write(sinks["json_doc"])
+        noop_write(sinks["error"])
+        jruns.append(time.monotonic() - t0)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
+    timings["transcript_pipeline_json_only"] = round(min(jruns), 3)
+
     # --- headline relational + training-data queries from the contract
     qs = entry.queries()
     for name in [

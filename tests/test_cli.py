@@ -57,3 +57,22 @@ def test_cli_lang_json_skips_xml_sinks(spark, tmp_path):
     for skipped in ("xml_doc", "xml_log"):
         assert not os.path.exists(os.path.join(out, skipped)), skipped
         assert not cat.manifest(skipped)["snapshots"]
+
+
+def test_lang_xml_only_build(spark, tmp_path):
+    """langs=("xml",): json sink absent, xml present and valid (the doc
+    column is still computed internally — the trim cascade is byte-based)."""
+    import xml.etree.ElementTree as ET
+
+    from transcriptpipe import pipeline
+
+    df = spark.createDataFrame(synth.gen_transcripts(n_convs=8),
+                               schema=__import__("transcriptpipe.schemas",
+                                                 fromlist=["TRANSCRIPTS"]).TRANSCRIPTS)
+    sinks = pipeline.build(spark, df,
+                           pipeline.PipeConf(persist=False, langs=("xml",)))
+    assert "json_doc" not in sinks and "xml_doc" in sinks
+    rows = sinks["xml_doc"].collect()
+    assert len(rows) == 8
+    for r in rows:
+        ET.fromstring(r["doc"])

@@ -59,10 +59,27 @@ def coalesce_events(parsed: DataFrame) -> DataFrame:
 
     Expects columns: conv_id, turn_idx, role_name, text, fields, keys, vals,
     item_idx, tool_name, ts, row_error.
+
+    Also computes the per-turn cumulative text-line render cost (the
+    prefix-sum the per-line trim needs) with a NATIVE window cumsum over the
+    same conv_id clustering the groupBy uses — one exchange serves both.
+    Round 3: the prefix sum used to be an F.aggregate lambda building an
+    array per element at render time; Spark pulls higher-order-function
+    lambdas into their own eagerly-evaluated projection, so every row paid
+    the quadratic scan (~80s of the expr engine's 95s render at 1.1M turns).
     """
+    from pyspark.sql.window import Window
+
+    # cost of inserting this text line into the JSON text member:
+    # escaped length + 1 (comma/bracket) — mirrors oracle.max_text_lines
+    line_cost = (
+        F.octet_length(F.to_json(F.array(F.col("text")))) - 2 + 1
+    ).cast("long")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    parsed = parsed.withColumn("cum_cost", F.sum(line_cost).over(w))
     turn = F.struct(
         "turn_idx", "role_name", "text", "fields",
-        "item_idx", "tool_name", "row_error",
+        "item_idx", "tool_name", "row_error", "cum_cost",
     )
     return parsed.groupBy("conv_id").agg(
         F.array_sort(F.collect_list(turn), _cmp_by("turn_idx")).alias("turns"),
@@ -216,7 +233,7 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
     registered = list(schemas.COLLECTORS)
     turns = F.col("turns")
 
-    texts = F.transform(turns, lambda t: t["text"])
+    texts = F.col("turns")["text"]  # native array-field extraction, no lambda
 
     # ---- add-time errors
     first_row_err = F.try_element_at(
@@ -393,6 +410,9 @@ def assemble_docs(coalesced: DataFrame) -> DataFrame:
         "min_ts",
         "n_turns",
         texts.alias("texts"),
+        # per-line cumulative render costs, turn-sorted (native array-field
+        # extraction, no lambda) — consumed by render_json's partial trim
+        F.col("turns")["cum_cost"].alias("cum_costs"),
         # P6 error demotion (conv_buf.c:627-648): on error void data, keep text
         F.when(error.isNull(), data).alias("data"),
         F.when(error.isNull(), extra).alias("extra"),

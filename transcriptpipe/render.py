@@ -113,26 +113,31 @@ def render_json(docs: DataFrame, max_doc_bytes: int | None = None,
         doc, trimmed = full, pre_trimmed
     else:
         cap = F.lit(max_doc_bytes)
+        # materialize the full render ONCE as a column: the cascade and the
+        # fit check then reference the string column instead of duplicating
+        # the render tree. (Expression trees containing higher-order
+        # functions get pulled into their own eagerly-evaluated projections
+        # — round-3 measurement: the old per-row quadratic prefix-sum lambda
+        # cost ~80s of the expr engine's 95s render at 1.1M turns.)
+        df = df.withColumn("_full", full)
+        full = F.col("_full")
         # per-line text trim (gbtree.c:468-553 analog; mirrors
         # oracle.max_text_lines byte-for-byte): k = max prefix of text lines
-        # such that inserting the member into the no_text doc stays <= cap
-        line_costs = F.transform(
-            F.col("texts"),
-            lambda t: F.octet_length(F.to_json(F.array(t))) - 2 + 1,
+        # such that inserting the member into the no_text doc stays <= cap.
+        # cum_costs is the NATIVE window cumsum computed in coalesce_events;
+        # the budget derives from byte identities instead of rendering
+        # no_text: octet(no_text) = octet(full) - (9 + cum_last) + 15
+        # (whole-text-member insert cost is 9 + cum_last — the
+        # oracle.max_text_lines arithmetic — and no_text adds
+        # ',"trimmed":true' = 15 bytes), so
+        # budget = cap - octet(no_text) = cap - octet(full) + cum_last - 6.
+        cum = F.col("cum_costs")
+        text_budget = (
+            cap - F.octet_length(full)
+            + F.coalesce(F.try_element_at(cum, F.lit(-1)), F.lit(0).cast("long"))
+            - 6
         )
-        prefix = F.aggregate(
-            line_costs,
-            F.array().cast("array<long>"),
-            lambda acc, x: F.concat(
-                acc,
-                F.array(
-                    F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long"))
-                    + x
-                ),
-            ),
-        )
-        text_budget = cap - F.octet_length(no_text)
-        partial_k = F.size(F.filter(prefix, lambda p: p + 9 <= text_budget))
+        partial_k = F.size(F.filter(cum, lambda p: p + 9 <= text_budget))
         partial = _doc_json(text_on, True, True, True, with_norm,
                             text_limit=partial_k)
         # strict lower bounds computed upstream (raw text / field-value bytes

@@ -1,5 +1,6 @@
-"""The two assembly engines (Arrow mapInPandas vs all-JVM Catalyst
-expressions) must produce identical sink contents."""
+"""The assembly engines (fused Arrow kernel, grouped Arrow, all-JVM
+relational "sql", all-JVM expression "expr") must produce identical sink
+contents byte-for-byte."""
 
 from __future__ import annotations
 
@@ -36,7 +37,7 @@ def test_all_engines_agree(spark, tiny_df):
             with_text=with_text, with_norm=with_norm,
         )
         a_jd, a_xml, a_err = _collect(spark, tiny_df, mk("arrow"))
-        for other in ("arrow_agg", "expr"):
+        for other in ("arrow_agg", "sql", "expr"):
             e_jd, e_xml, e_err = _collect(spark, tiny_df, mk(other))
             key = (max_bytes, with_text, with_norm, other)
             assert set(a_jd) == set(e_jd), key

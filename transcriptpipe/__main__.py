@@ -57,8 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "--with-text inverse)")
     p.add_argument("--with-norm", action="store_true",
                    help="include normalized summary section")
-    p.add_argument("--engine", choices=["arrow", "expr", "arrow_agg"],
-                   default="arrow")
+    p.add_argument("--engine", choices=["arrow", "sql", "expr", "arrow_agg"],
+                   default="arrow",
+                   help="arrow: fused Python-kernel Arrow stage (fastest); "
+                        "sql: all-JVM relational engine (no Python workers); "
+                        "expr/arrow_agg: verification paths")
     p.add_argument("--run-id", default=None,
                    help="resumable run id (default: derived from input)")
     p.add_argument("--stream", action="store_true",

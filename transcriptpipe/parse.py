@@ -68,10 +68,11 @@ def parse_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     # strict lower bound on this turn's contribution to the rendered data
     # section (field values appear verbatim in the JSON; escaping only adds
-    # bytes) — lets render.py skip rendering oversized docs entirely
+    # bytes) — lets render.py skip rendering oversized docs entirely.
+    # NATIVE array_join instead of an aggregate lambda: same byte total,
+    # no interpreted-HOF projection (round 3)
     df = df.withColumn(
-        "vals_bytes",
-        F.aggregate("vals", F.lit(0), lambda acc, v: acc + F.octet_length(v)),
+        "vals_bytes", F.octet_length(F.array_join("vals", "")).cast("int")
     )
 
     parse_fail = (F.size("keys") == 0) & (F.length(F.trim(text)) > 0)

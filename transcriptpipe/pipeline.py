@@ -60,12 +60,15 @@ class PipeConf:
     cluster pattern (staging table) and makes build() eager for the staging
     write."""
     engine: str = "arrow"
-    """'arrow' (default): assemble+trim+render in ONE mapInPandas pass over
-    the aggregated turn arrays (vectorized Arrow batches — measured ~5x
-    faster than the interpreted-HOF expression path and without its JIT
-    cold-start cliff). 'expr': the all-JVM Catalyst expression path
-    (coalesce.assemble_docs + render.render_json). Both are semantics-
-    identical; tests pin the equivalence."""
+    """'arrow' (default): assemble+trim+render in ONE fused mapInPandas pass
+    (fastkernel — the fastest path). 'sql': the all-JVM RELATIONAL engine
+    (relational.py — windows + conditional aggregates + native string
+    assembly, no interpreted HOF lambdas on the hot path; the fast JVM
+    alternative when Python workers are the constraint). 'expr': the
+    original Catalyst array-lambda path (coalesce.assemble_docs +
+    render.render_json), kept as the third independent implementation for
+    verification. All engines are semantics-identical; tests pin
+    byte-equality."""
     doc_batch: int | str | None = None
     """S6 document batching (format.h:52-59): when set, build() adds
     ``json_log`` / ``xml_log`` sinks grouping the per-event docs into
@@ -147,6 +150,48 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
             # zstd here (measured: stage-write 6.3s zstd vs 4.1s lz4, sink
             # projections 1.5s vs 0.6s at 1.1M turns); the real sinks keep
             # the session codec through catalog.write
+            (rendered.write.mode("overwrite")
+             .option("compression", "lz4").parquet(conf.stage_dir))
+            rendered = spark.read.parquet(conf.stage_dir)
+        elif conf.persist:
+            from pyspark import StorageLevel
+
+            rendered = rendered.persist(StorageLevel.MEMORY_AND_DISK)
+        doc_cols = ["conv_id", "doc_id", "serial", "time", "n_turns"]
+        sinks = {}
+        if "json" in conf.langs:
+            sinks["json_doc"] = rendered.select(*doc_cols, "doc", "trimmed", "error")
+        if "xml" in conf.langs:
+            sinks["xml_doc"] = rendered.select(
+                *doc_cols, F.col("xml").alias("doc"), "trimmed", "error"
+            )
+        sinks["error"] = route.error_sink(rendered)
+        sinks["raw"] = route.raw_sink(transcripts)
+        _add_doc_batch_sinks(sinks, conf)
+        return sinks
+
+    if conf.engine == "sql":
+        # all-JVM relational engine: same rendered-frame shape as arrow.
+        # The shuffle carries RAW enriched turns; tokenization runs after.
+        from . import relational
+
+        fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
+        enriched = enrich.enrich_roles(fact, enrich.role_dict_df(spark))
+        enriched = enriched.join(
+            F.broadcast(enrich.tool_dict_df(spark)),
+            enriched["tool"] == F.col("tool_code"),
+            "left",
+        ).drop("tool_code", "tool_kind")
+        enriched = enriched.join(F.broadcast(capped_convs), "conv_id", "left")
+        rendered = relational.render_docs_relational(
+            enriched,
+            max_doc_bytes=conf.max_doc_bytes,
+            events_per_doc=conf.events_per_doc,
+            with_text=conf.with_text,
+            with_norm=conf.with_norm,
+            want_xml="xml" in conf.langs,
+        )
+        if conf.stage_dir:
             (rendered.write.mode("overwrite")
              .option("compression", "lz4").parquet(conf.stage_dir))
             rendered = spark.read.parquet(conf.stage_dir)

@@ -1,0 +1,474 @@
+"""Relational all-JVM engine ("sql") — the coalesce+render semantics as
+window functions, conditional aggregates, and native array/string
+expressions, with NO higher-order-function lambdas on the hot path.
+
+Motivation (round 3): the "expr" engine expresses the per-conversation
+collectors as array lambdas over a collected turn array; Spark evaluates
+HOF lambdas in the interpreted expression evaluator and pulls them into
+their own eagerly-evaluated projections, which left that engine ~6x slower
+than the Python-kernel arrow engine even after the trim fix. This engine
+expresses the SAME semantics the way the DuckDB oracle SQL does (see
+__spark_entry__._transcript_cls_sql, validated row-for-row against the
+Python oracle):
+
+* per-turn JSON field fragments rendered narrowly with ``to_json`` (native)
+* uniq-collector duplicate detection via a ``row_number`` window over
+  (conv_id, uniq-key) — co-partitioned with the main aggregation, so the
+  whole engine still shuffles the fact table ONCE
+* one ``groupBy(conv_id)`` of conditional sorted collect_lists (structs of
+  orderable scalars only — no maps — so ``array_sort`` needs no comparator
+  lambda), struct-min/max firsts, and counting aggregates
+* EXECVE reassembly as a relational branch: posexplode of tool_call tokens
+  → per-turn LAST-WIN via a window → per-(conv, arg) aggregates → per-conv
+  validation — joined back on conv_id (both sides conv-partitioned)
+* document assembly as native string concat of the fragments, with the
+  member-composition trick of render.py (to_json of one-field structs) for
+  anything needing JSON escaping
+* the per-line trim consumes the native window cumsum (coalesce_events'
+  round-3 fix) and derives the text budget from byte identities
+
+Byte-equality with the oracle/arrow/expr engines is pinned by
+tests/test_engines.py (the 4-engine matrix) and the golden corpus.
+
+Reference parity: same collector semantics as lib/conv_buf.c:355-709 /
+lib/disp_coll.c, same trim order as lib/gbtree.c:555-606.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import schemas
+from .render import TIME_FMT, _member
+
+_REGISTERED = list(schemas.COLLECTORS)
+_UNIQ_ROLES = schemas.UNIQ_ROLES
+_REP_ROLES = schemas.REP_ROLES
+_SLOT_ROLE = schemas.SLOT_ROLE
+# data keys always present in the oracle's dict (possibly None) — catch-all
+# roles lowercasing to one of these are excluded (oracle.coalesce_conv)
+_RESERVED = [r for r, c in schemas.COLLECTORS.items()
+             if c != schemas.COLL_DROP] + ["args", "tools"]
+
+_ARG_KEY_RE = r"^(argc|a\d+(_len)?|a\d+\[\d+\])$"
+
+
+def _json_obj_member(key_col: Column, val_json: Column) -> Column:
+    """'"<escaped key>":<val_json>' — key escaped via the to_json trick."""
+    kj = F.to_json(F.map_from_arrays(F.array(key_col), F.array(F.lit(""))))
+    # '{"key":""}' -> '"key":'
+    key_part = kj.substr(F.lit(2), F.length(kj) - 4)
+    return F.concat(key_part, val_json)
+
+
+def _bare_json(col: Column) -> Column:
+    """Render any value column as bare JSON ('[...]' for arrays) — to_json
+    only accepts struct/map at the top level, so wrap in a one-field struct
+    and strip '{"a":' and '}' (render._member composition trick)."""
+    j = F.to_json(F.struct(col.alias("a")))
+    return F.when(col.isNotNull(), j.substr(F.lit(6), F.length(j) - 6))
+
+
+def _args_branch(parsed: DataFrame) -> DataFrame:
+    """EXECVE reassembly (A5) as pure relational operators. Returns one row
+    per conversation that carried any argc/aN token: (conv_id, execve_err,
+    args_vals array|null, args_json string|null).
+
+    Call with the POST-repartition frame: the branch then starts from the
+    same exchange the main aggregation consumes (ReusedExchange) instead of
+    re-running the scan+tokenizer, and its per-turn LAST-WIN window needs
+    no exchange at all (hash(conv_id) already clusters (conv, turn, key))."""
+    tc = parsed.filter(
+        (F.col("role_name") == "tool_call") & (F.size("keys") > 0)
+    ).select(
+        "conv_id", "turn_idx",
+        F.posexplode(F.arrays_zip("keys", "vals")).alias("pos", "e"),
+    ).select(
+        "conv_id", "turn_idx", "pos",
+        F.col("e.keys").alias("k"), F.col("e.vals").alias("v"),
+    ).filter(F.col("k").rlike(_ARG_KEY_RE))
+
+    # per-turn LAST-WIN (the parse stage's map semantics): keep the last
+    # occurrence of each key within a turn
+    w_lw = Window.partitionBy("conv_id", "turn_idx", "k").orderBy(F.desc("pos"))
+    lw = tc.withColumn("_rn", F.row_number().over(w_lw)).filter(F.col("_rn") == 1)
+
+    argc = (
+        lw.filter(F.col("k") == "argc")
+        .groupBy("conv_id")
+        .agg(F.max(F.col("v").try_cast("int")).alias("argc_decl"))
+    )
+
+    aent = lw.filter(F.col("k") != "argc").select(
+        "conv_id",
+        F.regexp_extract("k", r"^a(\d+)", 1).try_cast("int").alias("idx"),
+        F.when(F.col("k").rlike(r"^a\d+_len$"), F.lit("len"))
+        .when(F.col("k").rlike(r"^a\d+\[\d+\]$"), F.lit("slice"))
+        .otherwise(F.lit("whole")).alias("kind"),
+        F.regexp_extract("k", r"\[(\d+)\]$", 1).try_cast("int").alias("si"),
+        "v",
+    )
+    per_arg = aent.groupBy("conv_id", "idx").agg(
+        F.sum(F.when(F.col("kind") == "whole", 1).otherwise(0)).alias("n_w"),
+        F.max(F.when(F.col("kind") == "whole", F.col("v"))).alias("wv"),
+        F.max(F.when(F.col("kind") == "len", F.col("v").try_cast("int"))).alias("decl"),
+        F.sum(F.when(F.col("kind") == "slice", 1).otherwise(0)).alias("n_sl"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("kind") == "slice", F.struct("si", "v")))
+        ).alias("sls"),
+    )
+    sidx = F.col("sls")["si"]
+    hexcat = F.array_join(F.col("sls")["v"], "")
+    decoded = F.when(F.length(hexcat) % 2 == 0, F.unhex(hexcat).cast("string"))
+    solid_sl = (
+        (F.array_min(sidx) == 0)
+        & (F.array_max(sidx) == F.col("n_sl") - 1)
+        & (F.size(F.array_distinct(sidx)) == F.col("n_sl"))
+    )
+    whole_ok = (F.col("n_w") == 1) & (F.col("n_sl") == 0) & F.col("decl").isNull()
+    slice_ok = (
+        (F.col("n_w") == 0) & (F.col("n_sl") > 0) & solid_sl
+        & decoded.isNotNull()
+        & (F.col("decl").isNull() | (F.octet_length(decoded) == F.col("decl")))
+    )
+    judged = per_arg.select(
+        "conv_id", "idx",
+        F.when(F.col("n_w") == 1, F.col("wv"))
+        .when(F.col("n_sl") > 0, decoded).alias("val"),
+        (~(whole_ok | slice_ok)).alias("bad"),
+    )
+    per_conv = judged.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("idx", "val"))).alias("avs"),
+        F.count("*").alias("n_args"),
+        F.min("idx").alias("idx_min"),
+        F.max("idx").alias("idx_max"),
+        F.max("bad").alias("any_bad"),
+    )
+    both = per_conv.join(argc, "conv_id", "full")
+    n_args = F.coalesce(F.col("n_args"), F.lit(0))
+    solid = (n_args == 0) | (
+        (F.col("idx_min") == 0) & (F.col("idx_max") == n_args - 1)
+    )
+    argc_ok = F.col("argc_decl").isNull() | (F.col("argc_decl") == n_args)
+    valid = solid & ~F.coalesce(F.col("any_bad"), F.lit(False)) & argc_ok
+    args_vals = F.when(valid, F.coalesce(F.col("avs")["val"],
+                                         F.array().cast("array<string>")))
+    return both.select(
+        "conv_id",
+        F.when(~valid, F.lit(schemas.ERR_INVALID_EXECVE)).alias("execve_err"),
+        args_vals.alias("args_vals"),
+        _bare_json(args_vals).alias("args_json"),
+    )
+
+
+def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192,
+                           events_per_doc: int = 100, with_text: bool = True,
+                           with_norm: bool = False,
+                           want_xml: bool = True) -> DataFrame:
+    """enriched RAW turns (role_name/tool_name resolved, optional
+    turn_capped column) → rendered doc frame matching arrow_docs.DOC_SCHEMA.
+
+    ONE shuffle of the fact table, carrying RAW rows only — the tokenizer
+    runs AFTER the exchange (same exchange-weight discipline as the arrow
+    engine's sorted-stream shape: the shuffle moves (conv_id, turn_idx,
+    role, text, tool, ts), not parsed maps)."""
+    from . import parse as parse_mod
+
+    has_cap = "turn_capped" in enriched.columns
+    n_parts = enriched.sparkSession.sparkContext.defaultParallelism * 4
+
+    role = F.col("role_name")
+    registered = role.isin(_REGISTERED)
+    is_catch = ~registered
+    ukey = (
+        F.when(role.isin(_UNIQ_ROLES), role)
+        .when(is_catch, F.lower(role))
+    )
+    line_cost = (
+        F.octet_length(F.to_json(F.array(F.col("text")))) - 2 + 1
+    ).cast("long")
+
+    p = parse_mod.parse_turns(enriched.repartition(n_parts, "conv_id"))
+    # UNKNOWN_TOOL after PARSE_FAIL/INVALID_HEX (enrich.enrich_tools order)
+    p = p.withColumn(
+        "row_error",
+        F.coalesce(
+            "row_error",
+            F.when(F.col("tool").isNotNull() & F.col("tool_name").isNull(),
+                   F.lit(schemas.ERR_UNKNOWN_TOOL)),
+        ),
+    )
+    p = p.withColumn("_frag", F.to_json("fields"))
+    p = p.withColumn("_ukey", ukey)
+    w_uniq = Window.partitionBy("conv_id", "_ukey").orderBy("turn_idx")
+    w_cum = Window.partitionBy("conv_id").orderBy("turn_idx")
+    p = p.withColumn("_rnu", F.row_number().over(w_uniq))
+    p = p.withColumn("_cum", F.sum(line_cost).over(w_cum))
+    catch_member = _json_obj_member(F.lower(role), F.col("_frag"))
+
+    def rep_agg(r: str):
+        return F.array_sort(
+            F.collect_list(F.when(role == r, F.struct("turn_idx", "_frag")))
+        ).alias(f"_{r}_frags")
+
+    aggs = [
+        F.count("*").cast("int").alias("n_turns"),
+        F.min("ts").alias("min_ts"),
+        F.sum(F.when(F.size("keys") > 0, 1).otherwise(0)).alias("n_records"),
+        F.sum(F.octet_length("text")).alias("text_bytes"),
+        F.sum("vals_bytes").alias("fields_bytes"),
+        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_texts_s"),
+        F.array_sort(F.collect_list(F.struct("turn_idx", "_cum"))).alias("_cums_s"),
+        F.array_sort(F.collect_list(F.when(
+            F.col("row_error").isNotNull(),
+            F.struct(
+                F.col("turn_idx").alias("turn_idx"),
+                F.col("row_error").alias("error_code"),
+                F.col("text").alias("text"),
+            ),
+        ))).alias("row_errs"),
+        F.min(F.when(
+            F.col("row_error").isNotNull(),
+            F.struct(F.col("turn_idx").alias("ti"), F.col("row_error").alias("code")),
+        )).alias("_first_err"),
+        F.min(F.when(F.col("_ukey").isNotNull() & (F.col("_rnu") >= 2),
+                     F.col("turn_idx"))).alias("_rep_turn"),
+        F.sum(F.when(role == "system", 1).otherwise(0)).alias("_sys_cnt"),
+        F.min(F.when(role == "system", F.struct("turn_idx", "_frag"))).alias("_sys"),
+        *[rep_agg(r) for r in _REP_ROLES],
+        F.array_sort(F.collect_list(F.when(
+            role == _SLOT_ROLE,
+            F.struct(
+                F.col("item_idx").isNull().cast("int").alias("nl"),
+                F.coalesce("item_idx", F.lit(0)).alias("it"),
+                F.col("turn_idx").alias("turn_idx"),
+                F.col("_frag").alias("_frag"),
+            ),
+        ))).alias("_slot_frags"),
+        F.collect_list(F.when(role == _SLOT_ROLE, F.col("item_idx"))).alias("_items"),
+        F.sum(F.when(role == _SLOT_ROLE, 1).otherwise(0)).alias("_n_slot"),
+        F.array_sort(F.collect_list(F.when(
+            F.col("tool_name").isNotNull(), F.struct("turn_idx", "tool_name")
+        ))).alias("_tools_s"),
+        F.array_sort(F.collect_list(F.when(
+            is_catch & (F.col("_rnu") == 1) & ~F.lower(role).isin(_RESERVED),
+            F.struct(F.col("turn_idx").alias("turn_idx"),
+                     catch_member.alias("m")),
+        ))).alias("_catch_s"),
+    ]
+    if has_cap:
+        aggs.append(F.max(F.coalesce("turn_capped", F.lit(False))).alias("_pre_trim"))
+    if with_norm:
+        msg1 = F.element_at(F.element_at("fields", F.lit("msg")), 1)
+        aggs += [
+            F.sum(F.when(role == "user", 1).otherwise(0)).alias("_n_users"),
+            F.min(F.when(role == "user",
+                         F.struct(F.col("turn_idx").alias("t"),
+                                  msg1.alias("m")))).alias("_u_first"),
+            F.max(F.when(role == "user",
+                         F.struct(F.col("turn_idx").alias("t"),
+                                  msg1.alias("m")))).alias("_u_last"),
+            F.min(F.when(role == "system",
+                         F.struct(F.col("turn_idx").alias("t"),
+                                  _bare_json(F.map_keys("fields")).alias("kj"))
+                         )).alias("_sys_keys"),
+            F.min(F.struct(F.col("turn_idx").alias("t"),
+                           role.alias("r"))).alias("_first_role"),
+            F.sum(F.when(role == "tool_call", 1).otherwise(0)).alias("_n_tc"),
+        ]
+
+    main = p.groupBy("conv_id").agg(*aggs)
+    main = main.join(_args_branch(p), "conv_id", "left")
+
+    # ---- end-of-event validation (error precedence = add-time by earliest
+    # turn, EXECVE, PATH — mirrors oracle/assemble_docs)
+    rep_struct = F.when(
+        F.col("_rep_turn").isNotNull(),
+        F.struct(F.col("_rep_turn").alias("ti"),
+                 F.lit(schemas.ERR_REPEATED_RECORD).alias("code")),
+    )
+    add_code = F.least(F.col("_first_err"), rep_struct)["code"]
+    items = F.col("_items")
+    path_ok = (F.col("_n_slot") == 0) | (
+        (F.size(items) == F.col("_n_slot"))
+        & (F.array_min(items) == 0)
+        & (F.array_max(items) == F.col("_n_slot") - 1)
+        & (F.size(F.array_distinct(items)) == F.col("_n_slot"))
+    )
+    error = F.coalesce(
+        add_code, F.col("execve_err"),
+        F.when(~path_ok, F.lit(schemas.ERR_INVALID_PATH)),
+    )
+
+    serial = F.regexp_extract("conv_id", r"(\d+)$", 1).try_cast("long")
+    time_col = F.date_format("min_ts", TIME_FMT)
+    texts_arr = F.col("_texts_s")["text"]
+    tools = F.array_distinct(F.col("_tools_s")["tool_name"])
+
+    main = (
+        main.filter(error.isNotNull() | (F.col("n_records") > 0))
+        .withColumn("error", error)
+        .withColumn("serial", serial)
+        .withColumn("time", time_col)
+        .withColumn("_texts", texts_arr)
+        .withColumn("_cum", F.col("_cums_s")["_cum"])
+        .withColumn("_tools", tools)
+    )
+
+    # ---- member strings (order mirrors oracle.doc_object)
+    m_serial = F.coalesce(
+        F.concat(F.lit('"serial":'), F.col("serial").cast("string")),
+        F.lit('"serial":null'),
+    )
+    m_time = F.concat(F.lit('"time":"'), F.col("time"), F.lit('"'))
+    text_on = F.lit(with_text) | F.col("error").isNotNull()
+
+    def data_body() -> Column:
+        members = [
+            F.when(F.col("_sys_cnt") == 1,
+                   F.concat(F.lit('"system":'), F.col("_sys")["_frag"])),
+        ]
+        for r in _REP_ROLES:
+            fr = F.col(f"_{r}_frags")["_frag"]
+            members.append(
+                F.when(F.size(fr) > 0,
+                       F.concat(F.lit(f'"{r}":['), F.array_join(fr, ","),
+                                F.lit("]")))
+            )
+        sfr = F.col("_slot_frags")["_frag"]
+        members.append(
+            F.when(F.size(sfr) > 0,
+                   F.concat(F.lit(f'"{_SLOT_ROLE}":['), F.array_join(sfr, ","),
+                            F.lit("]")))
+        )
+        members.append(
+            F.when(F.col("args_json").isNotNull(),
+                   F.concat(F.lit('"args":'), F.col("args_json")))
+        )
+        members.append(
+            F.when(F.size("_tools") > 0,
+                   F.concat(F.lit('"tools":'), _bare_json(F.col("_tools"))))
+        )
+        cm = F.col("_catch_s")["m"]
+        members.append(F.when(F.size(cm) > 0, F.array_join(cm, ",")))
+        return F.concat_ws(",", *members)
+
+    m_data = F.when(
+        F.col("error").isNull(),
+        F.concat(F.lit('"data":{'), data_body(), F.lit("}")),
+    )
+
+    m_norm = F.lit(None).cast("string")
+    if with_norm:
+        av = F.col("args_vals")
+        n_av = F.coalesce(F.size(av), F.lit(0))
+        norm_members = F.concat_ws(
+            ",",
+            F.concat(F.lit('"event_kind":"'),
+                     F.when(F.col("_n_tc") > 0, F.lit("tool_use"))
+                     .otherwise(F.lit("dialogue")), F.lit('"')),
+            _member(F.col("serial"), "session"),
+            _member(F.when(F.col("_n_users") > 0, F.lit("user"))
+                    .otherwise(F.col("_first_role")["r"]), "subject_kind"),
+            _member(F.when(F.col("_n_users") > 0, F.col("_u_first")["m"]),
+                    "subject_primary"),
+            _member(F.when(F.col("_n_users") >= 2, F.col("_u_last")["m"]),
+                    "subject_secondary"),
+            F.when((F.col("_sys_cnt") == 1) & (F.col("_sys_keys")["kj"] != "[]"),
+                   F.concat(F.lit('"subject_attrs":'), F.col("_sys_keys")["kj"])),
+            F.concat(F.lit('"action":"'),
+                     F.when(F.col("_n_tc") > 0, F.lit("call"))
+                     .otherwise(F.lit("converse")), F.lit('"')),
+            _member(F.when(n_av > 0, F.lit("tool_args")), "object_kind"),
+            _member(F.try_element_at(av, F.lit(1)), "object_primary"),
+            _member(F.try_element_at(av, F.lit(2)), "object_secondary"),
+            _member(F.try_element_at(av, F.lit(3)), "object_primary2"),
+            F.when(n_av > 3,
+                   F.concat(F.lit('"object_attrs":'),
+                            _bare_json(F.slice(av, 4, n_av - 3)))),
+            F.concat(F.lit('"result":'), F.col("_n_slot").cast("string")),
+            _member(F.try_element_at("_tools", F.lit(1)), "how"),
+            _member(F.col("conv_id"), "key"),
+        )
+        m_norm = F.concat(F.lit('"norm":{'), norm_members, F.lit("}"))
+
+    m_error = F.when(
+        F.col("error").isNotNull(),
+        F.concat(F.lit('"error":"'), F.col("error"), F.lit('"')),
+    )
+    m_trim = F.lit('"trimmed":true')
+
+    def doc_of(text_arr: Column | None, norm_on: bool, data_on: bool,
+               trimmed: bool) -> Column:
+        members = [m_serial, m_time]
+        if text_arr is not None:
+            members.append(
+                F.when(text_on,
+                       F.concat(F.lit('"text":'), _bare_json(text_arr)))
+            )
+        if data_on:
+            members.append(m_data)
+        if norm_on:
+            members.append(m_norm)
+        members.append(m_error)
+        if trimmed:
+            members.append(m_trim)
+        return F.concat(F.lit("{"), F.concat_ws(",", *members), F.lit("}"))
+
+    full = doc_of(F.col("_texts"), True, True, False)
+    pre_trimmed = F.col("_pre_trim") if has_cap else F.lit(False)
+
+    if max_doc_bytes is None:
+        doc, trimmed = full, pre_trimmed
+    else:
+        cap = F.lit(max_doc_bytes)
+        main = main.withColumn("_full", full)
+        fullc = F.col("_full")
+        # text budget via byte identities (see render.render_json round-3
+        # notes): budget = cap - octet(full) + cum_last - 6
+        cum = F.col("_cum")
+        text_budget = (
+            cap - F.octet_length(fullc)
+            + F.coalesce(F.try_element_at(cum, F.lit(-1)), F.lit(0).cast("long"))
+            - 6
+        )
+        partial_k = F.size(F.filter(cum, lambda c: c + 9 <= text_budget))
+        partial = doc_of(F.slice("_texts", F.lit(1), partial_k),
+                         True, True, True)
+        no_text = doc_of(None, True, True, True)
+        no_norm = doc_of(None, False, True, True)
+        envelope = doc_of(None, False, False, True)
+        est_data = F.when(F.col("error").isNull(),
+                          F.coalesce(F.col("fields_bytes"), F.lit(0))).otherwise(F.lit(0))
+        est_text = F.when(text_on, F.coalesce(F.col("text_bytes"), F.lit(0))).otherwise(F.lit(0))
+        full_fits = ((est_text + est_data) <= cap) & (F.octet_length(fullc) <= cap)
+        doc = (
+            F.when(full_fits, fullc)
+            .when(text_on & (partial_k > 0)
+                  & (F.octet_length(no_text) <= cap), partial)
+            .when((est_data <= cap) & (F.octet_length(no_text) <= cap), no_text)
+        )
+        if with_norm:
+            doc = doc.when((est_data <= cap) & (F.octet_length(no_norm) <= cap), no_norm)
+        doc = doc.otherwise(envelope)
+        trimmed = ~full_fits | pre_trimmed
+
+    out = main.select(
+        "conv_id",
+        F.floor(F.col("serial") / events_per_doc).alias("doc_id"),
+        "serial",
+        "time",
+        "n_turns",
+        doc.alias("doc"),
+        F.lit(None).cast("string").alias("xml"),
+        trimmed.alias("trimmed"),
+        "error",
+        "row_errs",
+    )
+    if want_xml:
+        from .render import _json_to_xml
+
+        out = out.withColumn("xml", _json_to_xml("doc"))
+    return out

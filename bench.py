@@ -107,6 +107,19 @@ def main() -> None:
         shutil.rmtree(stage, ignore_errors=True)
     timings["transcript_pipeline_json_only"] = round(min(jruns), 3)
 
+    # all-JVM relational engine (no Python workers) — the 100x-scale
+    # fallback; headline stays the fused-arrow default
+    sruns = []
+    for i in range(2):
+        t0 = time.monotonic()
+        sinks = pipeline.build(
+            spark, tdf,
+            pipeline.PipeConf(persist=False, engine="sql", langs=("json",)),
+        )
+        noop_write(sinks["json_doc"])
+        sruns.append(time.monotonic() - t0)
+    timings["transcript_pipeline_sql_engine"] = round(min(sruns), 3)
+
     # --- headline relational + training-data queries from the contract
     qs = entry.queries()
     for name in [

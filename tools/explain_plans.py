@@ -43,12 +43,36 @@ def main() -> None:
     tdf = spark.createDataFrame(
         synth.gen_transcripts(n_convs=100), schema=schemas.TRANSCRIPTS
     )
+    import re as _re
+
+    def shuffle_exchanges(plan: str) -> int:
+        """Count shuffle Exchange operator headers only (not broadcasts,
+        not the details section repeating each operator)."""
+        return len(_re.findall(r"\(\d+\) Exchange\b", plan))
+
     jd = pipeline.build(spark, tdf, pipeline.PipeConf(persist=False))["json_doc"]
     p = plan_of(jd)
     out.append("## transcript pipeline -> json_doc\n```\n" + p + "\n```\n")
-    n_exch = p.count("Exchange")
-    checks.append(("pipeline shuffles bounded (conv shuffle + cap-stats + join)",
-                   n_exch <= 4, f"Exchange count = {n_exch}"))
+    n_exch = shuffle_exchanges(p)
+    checks.append(("pipeline = ONE fact-table shuffle",
+                   n_exch == 1, f"shuffle Exchange count = {n_exch}"))
+
+    # sql engine: window + aggregation + args branch must share the ONE
+    # conv_id exchange (ReusedExchange), not re-shuffle the fact table
+    jd_sql = pipeline.build(
+        spark, tdf, pipeline.PipeConf(persist=False, engine="sql",
+                                      langs=("json",)))["json_doc"]
+    p_sql = plan_of(jd_sql)
+    out.append("## transcript pipeline (sql engine) -> json_doc\n```\n" + p_sql + "\n```\n")
+    n_sql = shuffle_exchanges(p_sql)
+    # static plan: the fact repartition appears once per consumer (main agg
+    # + args branch — AQE reuses the materialized stage at runtime; A/B
+    # measured the shared-exchange design strictly faster than a separate
+    # filtered scan), plus the args branch's two small aggregations and the
+    # post-agg join = 5 static exchange nodes, exactly one of which carries
+    # the full fact table per materialization
+    checks.append(("sql engine: bounded exchanges (1 fact + args-branch aggs)",
+                   n_sql <= 5, f"shuffle Exchanges = {n_sql}"))
     checks.append(("dict enrichment broadcasts", "BroadcastHashJoin" in p or "BroadcastExchange" in p,
                    "no broadcast found"))
 
@@ -72,7 +96,8 @@ def main() -> None:
     # --- coalesce contract query
     p = plan_of(entrymod.q_ev_coalesce(spark, SF))
     out.append("## ev_coalesce\n```\n" + p + "\n```\n")
-    checks.append(("coalesce = one exchange", p.count("Exchange") == 1, f"{p.count('Exchange')} exchanges"))
+    checks.append(("coalesce = one exchange", shuffle_exchanges(p) == 1,
+                   f"{shuffle_exchanges(p)} exchanges"))
 
     out.append("## checks\n")
     failed = 0

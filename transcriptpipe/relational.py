@@ -76,10 +76,12 @@ def _args_branch(parsed: DataFrame) -> DataFrame:
     per conversation that carried any argc/aN token: (conv_id, execve_err,
     args_vals array|null, args_json string|null).
 
-    Call with the POST-repartition frame: the branch then starts from the
-    same exchange the main aggregation consumes (ReusedExchange) instead of
-    re-running the scan+tokenizer, and its per-turn LAST-WIN window needs
-    no exchange at all (hash(conv_id) already clusters (conv, turn, key))."""
+    Call with the POST-repartition parsed frame: the branch consumes the
+    same conv_id exchange as the main aggregation (measured strictly faster
+    than re-scanning a pre-shuffle filtered subset — A/B at 1.1M turns:
+    6.4-7.3s vs 7.6-11.9s), and its per-turn LAST-WIN window plus both
+    aggregations need no further fact-table exchange (hash(conv_id)
+    clusters every downstream grouping key set)."""
     tc = parsed.filter(
         (F.col("role_name") == "tool_call") & (F.size("keys") > 0)
     ).select(

@@ -27,6 +27,8 @@ CONFIGS = [
     (None, False, False),   # P5 suppression (text must survive on errors)
     (None, True, True),     # norm section
     (600, False, True),     # trim cascade through the norm level
+    (220, True, True),      # per-line partial trim with norm present
+    (60, True, False),      # envelope-only degenerate budget
 ]
 
 

@@ -569,6 +569,76 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def q_doc_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-SAFE near-dup pairs: MinHash-LSH candidate generation → exact
+    token-set Jaccard verification (datalib.dedup.verified_near_dups). The
+    plan contains NO theta self-join — the candidate set is produced by
+    bucket grouping (plus the capped-bucket full-signature star fallback)
+    and the verify join costs |candidates|, not |docs|² (VERDICT r3 #3; the
+    brute-force doc_ngram_jaccard entry remains as small-SF
+    cross-validation of the same threshold semantics)."""
+    from transcriptpipe.datalib import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.verified_near_dups(
+        d, id_col="doc_id", text_col="text", threshold=0.8, k=8, bands=4
+    )
+
+
+# DuckDB mirror of verified_near_dups: identical md5 hash family, banding,
+# bucket cap (max_bucket=1000) incl. the full-signature star fallback, and
+# the exact-Jaccard verification — so the oracle reproduces the CANDIDATE
+# SET, not just the final filter.
+SQL_DOC_JACCARD_VERIFIED = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+sh AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                     i -> array_to_string(w[i:i+2], ' '))) AS sh
+       FROM w),
+sig AS (SELECT doc_id,
+               min(md5('0' || sh)) AS h0, min(md5('1' || sh)) AS h1,
+               min(md5('2' || sh)) AS h2, min(md5('3' || sh)) AS h3,
+               min(md5('4' || sh)) AS h4, min(md5('5' || sh)) AS h5,
+               min(md5('6' || sh)) AS h6, min(md5('7' || sh)) AS h7
+        FROM sh GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS band FROM sig
+  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+sized AS (
+  SELECT b.*, c.c FROM banded b
+  JOIN (SELECT band_id, band, count(*) AS c
+        FROM banded GROUP BY 1, 2) c USING (band_id, band)),
+bucket_pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sized a JOIN sized b
+    ON a.band_id = b.band_id AND a.band = b.band AND a.doc_id < b.doc_id
+  WHERE a.c > 1 AND a.c <= 1000),
+hot AS (SELECT DISTINCT doc_id FROM sized WHERE c > 1000),
+hotsig AS (SELECT s.* FROM sig s JOIN hot USING (doc_id)),
+reps AS (SELECT h0, h1, h2, h3, h4, h5, h6, h7, min(doc_id) AS rep
+         FROM hotsig GROUP BY ALL),
+star AS (
+  SELECT r.rep AS a_id, s.doc_id AS b_id
+  FROM hotsig s JOIN reps r
+    USING (h0, h1, h2, h3, h4, h5, h6, h7)
+  WHERE s.doc_id <> r.rep),
+cand AS (
+  SELECT DISTINCT a_id, b_id FROM
+    (SELECT * FROM bucket_pairs UNION ALL SELECT * FROM star)),
+t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents)
+SELECT c.a_id, c.b_id,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 3) AS jaccard
+FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
+WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.toks, b.toks))), 3) >= 0.8
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (8-bit, md5-derived bit family) bucket histogram."""
     d = _t(spark, sf_dir, "documents")
@@ -1005,7 +1075,7 @@ argent AS (
   WHERE role = 'tool_call'
     AND (k = 'argc' OR regexp_full_match(k, 'a\\d+(_len|\\[\\d+\\])?'))),
 argc AS (
-  SELECT conv_id, max(try_cast(v AS INT)) AS argc_decl
+  SELECT conv_id, max(CASE WHEN regexp_full_match(v, '[0-9]+') THEN try_cast(v AS INT) END) AS argc_decl
   FROM argent WHERE k = 'argc' GROUP BY conv_id),
 aent AS (
   SELECT conv_id,
@@ -1019,7 +1089,7 @@ aent AS (
 perarg AS (
   SELECT conv_id, idx,
     count(*) FILTER (WHERE kind = 'whole') AS n_w,
-    max(try_cast(v AS INT)) FILTER (WHERE kind = 'len') AS decl,
+    max(CASE WHEN regexp_full_match(v, '[0-9]+') THEN try_cast(v AS INT) END) FILTER (WHERE kind = 'len') AS decl,
     count(*) FILTER (WHERE kind = 'slice') AS n_sl,
     list(struct_pack(si := si, v := v) ORDER BY si) FILTER (WHERE kind = 'slice') AS sls
   FROM aent GROUP BY conv_id, idx),
@@ -1056,7 +1126,7 @@ execve AS (
 slots AS (
   SELECT r.conv_id, r.turn_idx, it.item
   FROM rowcls r LEFT JOIN (
-    SELECT conv_id, turn_idx, try_cast(v AS INT) AS item FROM lw WHERE k = 'item'
+    SELECT conv_id, turn_idx, CASE WHEN regexp_full_match(v, '[0-9]+') THEN try_cast(v AS INT) END AS item FROM lw WHERE k = 'item'
   ) it USING (conv_id, turn_idx)
   WHERE r.role = 'tool_result'),
 path AS (
@@ -1229,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_jaccard_verified": q_doc_jaccard_verified,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_textstats": q_doc_textstats,
@@ -1270,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_exact": SQL_DOC_DEDUP_EXACT,
         "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "doc_jaccard_verified": SQL_DOC_JACCARD_VERIFIED,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_near": SQL_DOC_SIMHASH_NEAR,
         "doc_textstats": SQL_DOC_TEXTSTATS,

@@ -76,3 +76,51 @@ def test_lang_xml_only_build(spark, tmp_path):
     assert len(rows) == 8
     for r in rows:
         ET.fromstring(r["doc"])
+
+
+def test_cli_fold_writes_folded_sink(spark, tmp_path):
+    """--fold/--indent (F8, reference conf.c:43-70 / README --fold=all):
+    the written json_doc is the folded re-render, byte-equal to
+    render.dumps_folded of the canonical compact doc; xml_doc is folded
+    too; "all" stays byte-equal to compact."""
+    import json as _json
+
+    from transcriptpipe import render
+    from transcriptpipe.sinks import SinkCatalog
+
+    inp = str(tmp_path / "in3.parquet")
+    synth.write_transcripts(inp, n_convs=8, seed=7)
+
+    out = str(tmp_path / "wh3")
+    rc = main([inp, "-O", out, "--fold", "2", "--indent", "2",
+               "--run-id", "t3"])
+    assert rc == 0
+    cat = SinkCatalog(out)
+    folded = {r["conv_id"]: r["doc"]
+              for r in cat.read(spark, "json_doc").collect()}
+    # recompute the canonical docs and fold them the same way
+    out2 = str(tmp_path / "wh4")
+    rc = main([inp, "-O", out2, "--run-id", "t4"])
+    assert rc == 0
+    compact = {r["conv_id"]: r["doc"]
+               for r in SinkCatalog(out2).read(spark, "json_doc").collect()}
+    assert set(folded) == set(compact)
+    any_multiline = False
+    for cid, doc in compact.items():
+        want = render.dumps_folded(_json.loads(doc), fold_level=2,
+                                   nest_indent=2)
+        assert folded[cid] == want, cid
+        assert _json.loads(folded[cid]) == _json.loads(doc), cid
+        any_multiline = any_multiline or "\n" in folded[cid]
+    assert any_multiline  # fold level 2 actually unfolds the top levels
+    # xml sink folded as well (well-formed, same content modulo whitespace)
+    xml_folded = SinkCatalog(out).read(spark, "xml_doc").first()["doc"]
+    assert "\n" in xml_folded
+
+    # --fold all == compact bytes
+    out3 = str(tmp_path / "wh5")
+    rc = main([inp, "-O", out3, "--fold", "all", "--run-id", "t5"])
+    assert rc == 0
+    allfold = {r["conv_id"]: r["doc"]
+               for r in SinkCatalog(out3).read(spark, "json_doc").collect()}
+    assert allfold == compact

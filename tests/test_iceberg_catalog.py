@@ -10,11 +10,10 @@ from transcriptpipe import sinks
 
 
 class FakeWriter:
-    def __init__(self, log, table, fail_append_once):
+    def __init__(self, log, table):
         self.log = log
         self.table = table
         self.opts = {}
-        self.fail_append_once = fail_append_once
 
     def option(self, k, v):
         self.opts[k] = v
@@ -25,12 +24,6 @@ class FakeWriter:
         return self
 
     def append(self):
-        if self.fail_append_once and not any(
-            op == "create" and t == self.table for op, t, *_ in self.log
-            if isinstance(t, str)
-        ):
-            self.log.append(("append-failed", self.table))
-            raise RuntimeError("Table or view not found")
         self.log.append(("append", self.table, dict(self.opts)))
 
     def create(self):
@@ -38,22 +31,28 @@ class FakeWriter:
 
 
 class FakeDF:
-    def __init__(self, log, fail_append_once=False):
+    def __init__(self, log):
         self.log = log
-        self.fail_append_once = fail_append_once
 
     def writeTo(self, table):
-        return FakeWriter(self.log, table, self.fail_append_once)
+        return FakeWriter(self.log, table)
 
 
 class FakeSpark:
-    """Replays `SELECT ... FROM <tbl>.snapshots` from an in-memory dict."""
+    """Replays `SELECT ... FROM <tbl>.snapshots` from an in-memory dict and
+    the catalog.tableExists existence probe the catalog uses."""
 
     def __init__(self):
         self.snapshots: dict[str, list] = {}
         self.conf = SimpleNamespace(get=lambda k, d=None: "")
+        self.sql_fail = None  # exception to raise from sql() (transient fault)
+        self.catalog = SimpleNamespace(
+            tableExists=lambda name: name in self.snapshots
+        )
 
     def sql(self, q):
+        if self.sql_fail is not None:
+            raise self.sql_fail
         tbl = q.split(" FROM ")[1].split(".snapshots")[0]
         rows = self.snapshots.get(tbl)
         if rows is None:
@@ -91,12 +90,34 @@ def test_write_stamps_run_id_and_resumes():
 
 
 def test_first_write_creates_table():
-    fs = FakeSpark()  # no snapshots entry -> metadata query raises
+    fs = FakeSpark()  # no snapshots entry -> tableExists probe is False
     cat = sinks.IcebergCatalog(fs, namespace="ns", catalog_name="cat")
     log: list = []
-    cat.write(FakeDF(log, fail_append_once=True), "error", "r1")
+    cat.write(FakeDF(log), "error", "r1")
     assert ("using", "iceberg") in log
     assert any(e[0] == "create" for e in log)
+    # the create path never attempted an append (no try/except masking)
+    assert not any(e[0] == "append" for e in log)
+
+
+def test_transient_metadata_failure_propagates():
+    """A transient failure of the snapshots metadata query must NOT be
+    swallowed into committed()==False (which would duplicate a snapshot on
+    resume) — it propagates to the caller (ADVICE r3)."""
+    import pytest
+
+    fs = FakeSpark()
+    fs.snapshots["cat.ns.json_doc"] = [
+        {"snapshot_id": 1, "summary": {"run-id": "r1"}}
+    ]
+    cat = sinks.IcebergCatalog(fs, namespace="ns", catalog_name="cat")
+    assert cat.committed("r1", "json_doc")  # healthy path
+
+    fs.sql_fail = ConnectionError("metastore briefly unreachable")
+    with pytest.raises(ConnectionError):
+        cat.committed("r1", "json_doc")
+    with pytest.raises(ConnectionError):
+        cat.write(FakeDF([]), "json_doc", "r1")
 
 
 def test_catalog_for_selection(tmp_path):

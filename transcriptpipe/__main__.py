@@ -16,8 +16,10 @@ Option mapping (reference → here):
     --max-event-size     → --max-doc-bytes (trim cap; format.h:60-63)
     --with-text          → --no-text to disable (P5; default on, like -t)
     --with-norm          → --with-norm (norm{} section)
-    --fold/--indent      → not implemented: presentation-only pretty-printing
-                           (documented divergence F8, SURVEY.md §2.8)
+    --fold/--indent      → --fold {none,all,N} / --indent N (F8 fold
+                           semantics, lib/conf.c:43-70 + gbuf.c:242-280;
+                           defaults conf.c:183-190). Omitted = canonical
+                           compact docs (the comparison target)
     -o/--output/syslog   → sinks are parquet directories under --out; the
                            output vtable analog is sinks.py/route.py
     (new) --stream       → Structured Streaming drain over a file source
@@ -57,6 +59,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "--with-text inverse)")
     p.add_argument("--with-norm", action="store_true",
                    help="include normalized summary section")
+    p.add_argument("--fold", default=None, metavar="LEVEL",
+                   help='pretty-print docs: "none" unfolds fully, "all" '
+                        'folds everything (compact), N unfolds nesting '
+                        "levels <= N (reference --fold, default: no "
+                        "re-render — canonical compact)")
+    p.add_argument("--indent", type=int, default=4,
+                   help="spaces per nesting level when folding "
+                        "(reference --indent default 4)")
     p.add_argument("--engine", choices=["arrow", "sql", "expr", "arrow_agg"],
                    default="arrow",
                    help="arrow: fused Python-kernel Arrow stage (fastest); "
@@ -86,7 +96,8 @@ def main(argv: list[str] | None = None) -> int:
         # stream mode honors the rendering options via the shared kernel;
         # options it cannot honor are rejected loudly, not ignored
         for opt, flag in ((args.events_per_doc, "--events-per-doc"),
-                          (args.run_id, "--run-id")):
+                          (args.run_id, "--run-id"),
+                          (args.fold, "--fold")):
             if opt is not None:
                 print(f"warning: {flag} is ignored in --stream mode",
                       file=sys.stderr)
@@ -107,6 +118,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.watermark is not None:
         print("warning: --watermark only applies to --stream mode", file=sys.stderr)
     langs = ("json", "xml") if args.lang == "both" else (args.lang,)
+    # --fold mapping (ref conf.c:43-70): none = unfold fully (a level no
+    # doc nesting reaches), all = fold everything (compact), N = N levels
+    fold_level = None
+    if args.fold is not None:
+        fold_level = {"none": 1 << 30, "all": 0}.get(args.fold)
+        if fold_level is None:
+            fold_level = int(args.fold)
     conf = pipeline.PipeConf(
         max_doc_bytes=args.max_doc_bytes,
         max_turns_per_conv=args.max_turns_per_conv,
@@ -116,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
         doc_batch=(parse_events_per_doc(args.events_per_doc)
                    if args.events_per_doc is not None else None),
         langs=langs,
+        fold_level=fold_level,
+        indent=args.indent,
     )
     run_id = args.run_id or "cli-" + args.input.strip("/").replace("/", "_")[-40:]
     catalog = sinks.SinkCatalog(args.out)

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import schemas
+from .parse import strict_int
 
 
 def _cmp_by(name: str):
@@ -75,7 +76,17 @@ def coalesce_events(parsed: DataFrame) -> DataFrame:
     line_cost = (
         F.octet_length(F.to_json(F.array(F.col("text")))) - 2 + 1
     ).cast("long")
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ROWS frame pinned explicitly: the default frame for an ordered window
+    # is RANGE, which gives tied orderBy values the same running sum — a
+    # duplicate turn_idx would then break the strict per-row prefix sum the
+    # per-line trim arithmetic assumes. (conv_id, turn_idx) is the declared
+    # input key (schemas.TRANSCRIPTS; pipeline.check_unique_turns), but the
+    # frame is pinned anyway so schema-legal-but-contract-violating input
+    # degrades to a well-defined prefix sum instead of tied buckets.
+    w = (
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     parsed = parsed.withColumn("cum_cost", F.sum(line_cost).over(w))
     turn = F.struct(
         "turn_idx", "role_name", "text", "fields",
@@ -131,7 +142,7 @@ def _args_and_error(turns: Column) -> tuple[Column, Column]:
     )
     argc_vals = F.transform(
         F.filter(entries, lambda e: e["k"] == "argc"),
-        lambda e: e["v"].try_cast("int"),
+        lambda e: strict_int(e["v"]),
     )
     argc_decl = F.array_max(F.filter(argc_vals, lambda x: x.isNotNull()))
     has_any = (F.size(F.filter(entries, lambda e: e["k"].rlike(ARG_KEY_ANY))) > 0) | (
@@ -156,7 +167,7 @@ def _args_and_error(turns: Column) -> tuple[Column, Column]:
         )
         decl = F.array_max(
             F.filter(
-                F.transform(lens, lambda e: e["v"].try_cast("int")),
+                F.transform(lens, lambda e: strict_int(e["v"])),
                 lambda x: x.isNotNull(),
             )
         )
@@ -178,7 +189,12 @@ def _args_and_error(turns: Column) -> tuple[Column, Column]:
         n_sl = F.size(slices)
         sidx = F.transform(slices, lambda s: s["si"])
         hexcat = F.array_join(F.transform(slices, lambda s: s["v"]), "")
-        decoded = F.when(F.length(hexcat) % 2 == 0, F.unhex(hexcat).cast("string"))
+        # make_valid_utf8: same U+FFFD replacement as the Python engines'
+        # bytes.decode(errors="replace") — see parse._decode_hex (ADVICE r3)
+        decoded = F.when(
+            F.length(hexcat) % 2 == 0,
+            F.make_valid_utf8(F.unhex(hexcat).cast("string")),
+        )
         solid = (
             (F.array_min(sidx) == 0)
             & (F.array_max(sidx) == n_sl - 1)

@@ -45,10 +45,15 @@ def decode_hex(v: str) -> str | None:
 
 
 def try_int(v: str) -> int | None:
-    try:
-        return int(v)
-    except (ValueError, TypeError):
+    """Strict nonneg int parse — the SAME acceptance grammar as the
+    Catalyst side's parse.strict_int (rlike ^[0-9]+$ + try_cast int): a
+    bare int() here would accept '1_0', '+5', ' 5 ' and unicode digits that
+    Spark rejects, diverging the engines on adversarial input (ADVICE r3).
+    int32 overflow → None, matching try_cast('int')."""
+    if not isinstance(v, str) or not v.isascii() or not v.isdigit():
         return None
+    n = int(v)
+    return n if n <= 2147483647 else None
 
 
 @dataclass

@@ -40,9 +40,28 @@ def _unquote(v: Column) -> Column:
     ).otherwise(v)
 
 
+def strict_int(v: Column) -> Column:
+    """Checked nonneg int parse of a free-form token value (F5), with the
+    SAME acceptance grammar as oracle.try_int: ASCII digits only — no sign,
+    no whitespace, no '_' separators, no unicode digits (all of which
+    Python's bare int() or Spark's bare try_cast would accept on one side
+    only, diverging the engines on adversarial input — ADVICE r3); int32
+    overflow → null on both sides."""
+    return F.when(v.rlike(r"^[0-9]+$"), v.try_cast("int"))
+
+
 def _decode_hex(v: Column) -> Column:
-    """Hex → UTF-8 string; null when not decodable (odd length or bad chars)."""
-    return F.when(F.length(v) % 2 == 0, F.unhex(v).cast("string")).otherwise(F.lit(None))
+    """Hex → UTF-8 string; null when not decodable (odd length or bad chars).
+
+    make_valid_utf8 replaces invalid byte sequences with U+FFFD using the
+    same maximal-subpart strategy as Python's bytes.decode(errors="replace")
+    (verified on surrogate/truncation/overlong vectors — a bare
+    binary→string cast instead passes raw bytes through, so octet_length
+    of the decoded value and the rendered doc bytes would diverge from the
+    Python engines on adversarial hex, ADVICE r3)."""
+    return F.when(
+        F.length(v) % 2 == 0, F.make_valid_utf8(F.unhex(v).cast("string"))
+    ).otherwise(F.lit(None))
 
 
 def parse_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -64,7 +83,7 @@ def parse_turns(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn("fields", F.map_from_arrays("keys", pair))
 
     kv = F.map_from_arrays("keys", "vals")
-    df = df.withColumn("item_idx", F.element_at(kv, "item").try_cast("int"))
+    df = df.withColumn("item_idx", strict_int(F.element_at(kv, "item")))
 
     # strict lower bound on this turn's contribution to the rendered data
     # section (field values appear verbatim in the JSON; escaping only adds

@@ -79,6 +79,15 @@ class PipeConf:
     builds AND writes. A deselected language's sinks are never constructed
     and its render work is skipped entirely (the Arrow kernel skips XML
     assembly when "xml" is absent — not just the write)."""
+    fold_level: int | None = None
+    """--fold analog (F8, ref lib/conf.c:43-70 / gbuf.c:242-280): None
+    keeps the canonical compact docs (the comparison target); an int N
+    re-renders json_doc/xml_doc with nesting levels <= N unfolded one per
+    line (0 == --fold=all == compact; a huge N == --fold=none == fully
+    unfolded). Presentation-only; batched log sinks stay compact."""
+    indent: int = 4
+    """--indent analog (spaces per nesting level when folding; reference
+    default 4, lib/conf.c:183-190)."""
 
 
 def cap_turns(df: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
@@ -90,6 +99,20 @@ def cap_turns(df: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
         .select("conv_id", F.lit(True).alias("turn_capped"))
     )
     return df.filter(F.col("turn_idx") < cap), capped
+
+
+def check_unique_turns(transcripts: DataFrame) -> DataFrame:
+    """Validation frame for the (conv_id, turn_idx) primary-key contract
+    (schemas.TRANSCRIPTS): one row per duplicated key with its count. Empty
+    ⇔ the input honours the contract. One shuffle on the same key the
+    pipeline aggregates on; run it as a pre-flight action only when the
+    producer of the input table is untrusted — the pipeline itself stays
+    lazy and does not pay this scan."""
+    return (
+        transcripts.groupBy("conv_id", "turn_idx")
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
 
 
 def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = None
@@ -167,7 +190,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
             )
         sinks["error"] = route.error_sink(rendered)
         sinks["raw"] = route.raw_sink(transcripts)
-        _add_doc_batch_sinks(sinks, conf)
+        _finish_sinks(sinks, conf)
         return sinks
 
     if conf.engine == "sql":
@@ -209,7 +232,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
             )
         sinks["error"] = route.error_sink(rendered)
         sinks["raw"] = route.raw_sink(transcripts)
-        _add_doc_batch_sinks(sinks, conf)
+        _finish_sinks(sinks, conf)
         return sinks
 
     fact, capped_convs = cap_turns(transcripts, conf.max_turns_per_conv)
@@ -240,8 +263,25 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
         sinks["xml_doc"] = render.render_xml(json_doc)
     sinks["error"] = route.error_sink(docs)
     sinks["raw"] = route.raw_sink(transcripts)
-    _add_doc_batch_sinks(sinks, conf)
+    _finish_sinks(sinks, conf)
     return sinks
+
+
+def _finish_sinks(sinks: dict[str, DataFrame], conf: PipeConf) -> None:
+    """Shared sink post-processing for every engine branch: S6 doc batching
+    (from the canonical compact docs), then the optional F8 fold/indent
+    re-render of the per-event doc sinks."""
+    _add_doc_batch_sinks(sinks, conf)
+    if conf.fold_level is not None:
+        if "json_doc" in sinks:
+            sinks["json_doc"] = render.prettify_json(
+                sinks["json_doc"], indent=conf.indent,
+                fold_level=conf.fold_level,
+            )
+        if "xml_doc" in sinks:
+            sinks["xml_doc"] = render.prettify_xml(
+                sinks["xml_doc"], fold_level=conf.fold_level
+            )
 
 
 def _add_doc_batch_sinks(sinks: dict[str, DataFrame], conf: PipeConf) -> None:

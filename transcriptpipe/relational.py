@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from . import schemas
+from .parse import strict_int
 from .render import TIME_FMT, _member
 
 _REGISTERED = list(schemas.COLLECTORS)
@@ -69,6 +70,82 @@ def _bare_json(col: Column) -> Column:
     and strip '{"a":' and '}' (render._member composition trick)."""
     j = F.to_json(F.struct(col.alias("a")))
     return F.when(col.isNotNull(), j.substr(F.lit(6), F.length(j) - 6))
+
+
+# ---- native XML escaping (round 4: the sql engine's XML path used to
+# delegate to the render._json_to_xml pandas UDF, so "all-JVM" held only
+# for --lang json; these mirror render.xml_escape_str byte-for-byte with
+# Catalyst string replaces — lib/gbuf.c:282-342 escaping rules)
+_XML_CTRLS = [i for i in range(0x20) if chr(i) not in "\t\n\r"]
+_XML_ESC_RE = "[&<>\"'" + "".join(f"\\x{i:02x}" for i in _XML_CTRLS) + "]"
+_XML_CTRL_RE = "[" + "".join(f"\\x{i:02x}" for i in _XML_CTRLS) + "]"
+
+
+def _xml_esc(c: Column) -> Column:
+    """XML-escape a string column. Fast path: one regex scan, no rewrite
+    (the overwhelming majority of values); escaping strings pay 5 chained
+    native replaces; the rare control characters a further 29 — identical
+    replacement order to render.xml_escape_str (& first, so the entities'
+    own '&' survives; control replacements introduce no control chars)."""
+    esc5 = c
+    for src, dst in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                     ('"', "&quot;"), ("'", "&apos;")):
+        esc5 = F.replace(esc5, F.lit(src), F.lit(dst))
+    full = esc5
+    for i in _XML_CTRLS:
+        full = F.replace(full, F.lit(chr(i)), F.lit(f"&#x{i:X};"))
+    return (
+        F.when(c.rlike(_XML_CTRL_RE), full)
+        .when(c.rlike(_XML_ESC_RE), esc5)
+        .otherwise(c)
+    )
+
+
+def _xml_fields_frag(fields: Column) -> Column:
+    """map<string,array<string>> → '<f name="k"><v>x</v>…</f>…' — the
+    per-turn XML analog of to_json(fields), mirroring render._fields_xml.
+    Linear per-element lambdas over per-turn token arrays (same shape as
+    parse.parse_turns' zip_with; nothing references outer aggregates, so
+    no eager-projection quadratic blowup)."""
+    return F.array_join(
+        F.transform(
+            F.map_entries(fields),
+            lambda e: F.concat(
+                F.lit('<f name="'), _xml_esc(e["key"]), F.lit('">'),
+                F.array_join(
+                    F.transform(
+                        e["value"],
+                        lambda v: F.concat(F.lit("<v>"), _xml_esc(v),
+                                           F.lit("</v>")),
+                    ),
+                    "",
+                ),
+                F.lit("</f>"),
+            ),
+        ),
+        "",
+    )
+
+
+def _xml_wrap_each(arr: Column, tag: str) -> Column:
+    """array<string> (pre-escaped fragments) → '<tag>x</tag>' per element,
+    concatenated."""
+    return F.array_join(
+        F.transform(arr, lambda x: F.concat(F.lit(f"<{tag}>"), x,
+                                            F.lit(f"</{tag}>"))),
+        "",
+    )
+
+
+def _xml_norm_f(name: str, vals: Column) -> Column:
+    """'<f name="name"><v>v</v>…</f>' from an array of RAW (unescaped)
+    value strings; null when vals is null/empty (member omitted, matching
+    the JSON side's null-skip)."""
+    body = _xml_wrap_each(F.transform(vals, _xml_esc), "v")
+    return F.when(
+        vals.isNotNull() & (F.size(vals) > 0),
+        F.concat(F.lit(f'<f name="{name}">'), body, F.lit("</f>")),
+    )
 
 
 def _args_branch(parsed: DataFrame) -> DataFrame:
@@ -100,7 +177,7 @@ def _args_branch(parsed: DataFrame) -> DataFrame:
     argc = (
         lw.filter(F.col("k") == "argc")
         .groupBy("conv_id")
-        .agg(F.max(F.col("v").try_cast("int")).alias("argc_decl"))
+        .agg(F.max(strict_int(F.col("v"))).alias("argc_decl"))
     )
 
     aent = lw.filter(F.col("k") != "argc").select(
@@ -115,7 +192,7 @@ def _args_branch(parsed: DataFrame) -> DataFrame:
     per_arg = aent.groupBy("conv_id", "idx").agg(
         F.sum(F.when(F.col("kind") == "whole", 1).otherwise(0)).alias("n_w"),
         F.max(F.when(F.col("kind") == "whole", F.col("v"))).alias("wv"),
-        F.max(F.when(F.col("kind") == "len", F.col("v").try_cast("int"))).alias("decl"),
+        F.max(F.when(F.col("kind") == "len", strict_int(F.col("v")))).alias("decl"),
         F.sum(F.when(F.col("kind") == "slice", 1).otherwise(0)).alias("n_sl"),
         F.array_sort(
             F.collect_list(F.when(F.col("kind") == "slice", F.struct("si", "v")))
@@ -123,7 +200,12 @@ def _args_branch(parsed: DataFrame) -> DataFrame:
     )
     sidx = F.col("sls")["si"]
     hexcat = F.array_join(F.col("sls")["v"], "")
-    decoded = F.when(F.length(hexcat) % 2 == 0, F.unhex(hexcat).cast("string"))
+    # make_valid_utf8: same U+FFFD replacement as the Python engines'
+    # bytes.decode(errors="replace") — see parse._decode_hex (ADVICE r3)
+    decoded = F.when(
+        F.length(hexcat) % 2 == 0,
+        F.make_valid_utf8(F.unhex(hexcat).cast("string")),
+    )
     solid_sl = (
         (F.array_min(sidx) == 0)
         & (F.array_max(sidx) == F.col("n_sl") - 1)
@@ -203,9 +285,16 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         ),
     )
     p = p.withColumn("_frag", F.to_json("fields"))
+    if want_xml:
+        p = p.withColumn("_xfrag", _xml_fields_frag(F.col("fields")))
     p = p.withColumn("_ukey", ukey)
     w_uniq = Window.partitionBy("conv_id", "_ukey").orderBy("turn_idx")
-    w_cum = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ROWS frame pinned (default RANGE ties duplicate turn_idx values into
+    # one bucket — see coalesce.coalesce_events; same contract note there)
+    w_cum = (
+        Window.partitionBy("conv_id").orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     p = p.withColumn("_rnu", F.row_number().over(w_uniq))
     p = p.withColumn("_cum", F.sum(line_cost).over(w_cum))
     catch_member = _json_obj_member(F.lower(role), F.col("_frag"))
@@ -260,6 +349,39 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
                      catch_member.alias("m")),
         ))).alias("_catch_s"),
     ]
+    if want_xml:
+        # parallel XML-fragment aggregates, same selection/sort keys as the
+        # JSON ones (identical under the (conv_id, turn_idx) key contract)
+        aggs += [
+            F.min(F.when(role == "system",
+                         F.struct("turn_idx", "_xfrag"))).alias("_sys_x"),
+            *[
+                F.array_sort(F.collect_list(F.when(
+                    role == r, F.struct("turn_idx", "_xfrag")
+                ))).alias(f"_{r}_xfrags")
+                for r in _REP_ROLES
+            ],
+            F.array_sort(F.collect_list(F.when(
+                role == _SLOT_ROLE,
+                F.struct(
+                    F.col("item_idx").isNull().cast("int").alias("nl"),
+                    F.coalesce("item_idx", F.lit(0)).alias("it"),
+                    F.col("turn_idx").alias("turn_idx"),
+                    F.col("_xfrag").alias("_xfrag"),
+                ),
+            ))).alias("_slot_xfrags"),
+            F.array_sort(F.collect_list(F.when(
+                is_catch & (F.col("_rnu") == 1) & ~F.lower(role).isin(_RESERVED),
+                F.struct(
+                    F.col("turn_idx").alias("turn_idx"),
+                    # raw lowercased role as the element tag, escaped field
+                    # body — exactly render.xml_from_doc's catch-all branch
+                    F.concat(F.lit("<"), F.lower(role), F.lit(">"),
+                             F.col("_xfrag"),
+                             F.lit("</"), F.lower(role), F.lit(">")).alias("xm"),
+                ),
+            ))).alias("_catch_x"),
+        ]
     if has_cap:
         aggs.append(F.max(F.coalesce("turn_capped", F.lit(False))).alias("_pre_trim"))
     if with_norm:
@@ -274,7 +396,8 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
                                   msg1.alias("m")))).alias("_u_last"),
             F.min(F.when(role == "system",
                          F.struct(F.col("turn_idx").alias("t"),
-                                  _bare_json(F.map_keys("fields")).alias("kj"))
+                                  _bare_json(F.map_keys("fields")).alias("kj"),
+                                  F.map_keys("fields").alias("ks"))
                          )).alias("_sys_keys"),
             F.min(F.struct(F.col("turn_idx").alias("t"),
                            role.alias("r"))).alias("_first_role"),
@@ -422,8 +545,150 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
     full = doc_of(F.col("_texts"), True, True, False)
     pre_trimmed = F.col("_pre_trim") if has_cap else F.lit(False)
 
+    # ---- XML member strings (native; round 4 — mirrors render.xml_from_doc
+    # byte-for-byte so the engine stays all-JVM with --lang xml too)
+    xdoc_of = None
+    if want_xml:
+        main = main.withColumn(
+            "_xlines",
+            F.transform(
+                F.col("_texts"),
+                lambda t: F.coalesce(
+                    F.concat(F.lit("<line>"), _xml_esc(t), F.lit("</line>")),
+                    F.lit("<line></line>"),
+                ),
+            ),
+        )
+        # ' serial="S" time="T"[ error="E"]' — serial renders the Python
+        # str() of the value ("None" when absent), matching xml_from_doc's
+        # f-string on every engine
+        x_attr_base = F.concat(
+            F.lit(' serial="'),
+            F.coalesce(F.col("serial").cast("string"), F.lit("None")),
+            F.lit('" time="'), F.col("time"), F.lit('"'),
+            F.coalesce(
+                F.when(F.col("error").isNotNull(),
+                       F.concat(F.lit(' error="'), _xml_esc(F.col("error")),
+                                F.lit('"'))),
+                F.lit(""),
+            ),
+        )
+
+        def xdata_body() -> Column:
+            members = [
+                F.when(F.col("_sys_cnt") == 1,
+                       F.concat(F.lit("<system>"), F.col("_sys_x")["_xfrag"],
+                                F.lit("</system>"))),
+            ]
+            for r in _REP_ROLES:
+                fr = F.col(f"_{r}_xfrags")["_xfrag"]
+                members.append(F.when(F.size(fr) > 0, _xml_wrap_each(fr, r)))
+            sfr = F.col("_slot_xfrags")["_xfrag"]
+            members.append(
+                F.when(F.size(sfr) > 0, _xml_wrap_each(sfr, _SLOT_ROLE))
+            )
+            av = F.col("args_vals")
+            members.append(
+                F.when(av.isNotNull(),
+                       F.concat(F.lit("<args>"),
+                                _xml_wrap_each(F.transform(av, _xml_esc), "a"),
+                                F.lit("</args>")))
+            )
+            members.append(
+                F.when(F.size("_tools") > 0,
+                       F.concat(F.lit("<tools>"),
+                                _xml_wrap_each(
+                                    F.transform("_tools", _xml_esc), "t"),
+                                F.lit("</tools>")))
+            )
+            cm = F.col("_catch_x")["xm"]
+            members.append(F.when(F.size(cm) > 0, F.array_join(cm, "")))
+            return F.concat_ws("", *members)
+
+        x_data = F.when(
+            F.col("error").isNull(),
+            F.concat(F.lit("<data>"), xdata_body(), F.lit("</data>")),
+        )
+
+        x_norm = None
+        if with_norm:
+            def f1(name: str, val: Column) -> Column:
+                return F.when(
+                    val.isNotNull(),
+                    F.concat(F.lit(f'<f name="{name}"><v>'), _xml_esc(val),
+                             F.lit("</v></f>")),
+                )
+
+            av = F.col("args_vals")
+            n_av = F.coalesce(F.size(av), F.lit(0))
+            sks = F.col("_sys_keys")["ks"]
+            x_norm = F.concat(
+                F.lit("<norm>"),
+                F.concat_ws(
+                    "",
+                    f1("event_kind",
+                       F.when(F.col("_n_tc") > 0, F.lit("tool_use"))
+                       .otherwise(F.lit("dialogue"))),
+                    f1("session", F.col("serial").cast("string")),
+                    f1("subject_kind",
+                       F.when(F.col("_n_users") > 0, F.lit("user"))
+                       .otherwise(F.col("_first_role")["r"])),
+                    f1("subject_primary",
+                       F.when(F.col("_n_users") > 0, F.col("_u_first")["m"])),
+                    f1("subject_secondary",
+                       F.when(F.col("_n_users") >= 2, F.col("_u_last")["m"])),
+                    F.when((F.col("_sys_cnt") == 1) & (F.size(sks) > 0),
+                           F.concat(F.lit('<f name="subject_attrs">'),
+                                    _xml_wrap_each(
+                                        F.transform(sks, _xml_esc), "v"),
+                                    F.lit("</f>"))),
+                    f1("action",
+                       F.when(F.col("_n_tc") > 0, F.lit("call"))
+                       .otherwise(F.lit("converse"))),
+                    f1("object_kind", F.when(n_av > 0, F.lit("tool_args"))),
+                    f1("object_primary", F.try_element_at(av, F.lit(1))),
+                    f1("object_secondary", F.try_element_at(av, F.lit(2))),
+                    f1("object_primary2", F.try_element_at(av, F.lit(3))),
+                    F.when(n_av > 3,
+                           F.concat(F.lit('<f name="object_attrs">'),
+                                    _xml_wrap_each(
+                                        F.transform(
+                                            F.slice(av, 4, n_av - 3),
+                                            _xml_esc), "v"),
+                                    F.lit("</f>"))),
+                    f1("result", F.col("_n_slot").cast("string")),
+                    f1("how", F.try_element_at("_tools", F.lit(1))),
+                    f1("key", F.col("conv_id")),
+                ),
+                F.lit("</norm>"),
+            )
+
+        def xdoc_of(lines_arr: Column | None, norm_on: bool, data_on: bool,
+                    trimmed: bool) -> Column:
+            parts = [F.lit("<event"), x_attr_base]
+            if trimmed:
+                parts.append(F.lit(' trimmed="true"'))
+            parts.append(F.lit(">"))
+            if lines_arr is not None:
+                parts.append(F.coalesce(
+                    F.when(text_on,
+                           F.concat(F.lit("<text>"),
+                                    F.array_join(lines_arr, ""),
+                                    F.lit("</text>"))),
+                    F.lit(""),
+                ))
+            if data_on:
+                parts.append(F.coalesce(x_data, F.lit("")))
+            if norm_on and with_norm:
+                parts.append(x_norm)
+            parts.append(F.lit("</event>"))
+            return F.concat(*parts)
+
+    null_xml = F.lit(None).cast("string")
     if max_doc_bytes is None:
         doc, trimmed = full, pre_trimmed
+        xml = (xdoc_of(F.col("_xlines"), True, True, False) if want_xml
+               else null_xml)
     else:
         cap = F.lit(max_doc_bytes)
         main = main.withColumn("_full", full)
@@ -457,6 +722,31 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         doc = doc.otherwise(envelope)
         trimmed = ~full_fits | pre_trimmed
 
+        if want_xml:
+            # the XML mirrors whichever JSON variant the cascade selected —
+            # SAME predicates (on the JSON variants' byte sizes, which is
+            # what the cap governs), parallel XML variant strings
+            xfull = xdoc_of(F.col("_xlines"), True, True, False)
+            xpartial = xdoc_of(F.slice("_xlines", F.lit(1), partial_k),
+                               True, True, True)
+            xno_text = xdoc_of(None, True, True, True)
+            xenvelope = xdoc_of(None, False, False, True)
+            xml = (
+                F.when(full_fits, xfull)
+                .when(text_on & (partial_k > 0)
+                      & (F.octet_length(no_text) <= cap), xpartial)
+                .when((est_data <= cap) & (F.octet_length(no_text) <= cap),
+                      xno_text)
+            )
+            if with_norm:
+                xml = xml.when(
+                    (est_data <= cap) & (F.octet_length(no_norm) <= cap),
+                    xdoc_of(None, False, True, True),
+                )
+            xml = xml.otherwise(xenvelope)
+        else:
+            xml = null_xml
+
     out = main.select(
         "conv_id",
         F.floor(F.col("serial") / events_per_doc).alias("doc_id"),
@@ -464,13 +754,9 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         "time",
         "n_turns",
         doc.alias("doc"),
-        F.lit(None).cast("string").alias("xml"),
+        xml.alias("xml"),
         trimmed.alias("trimmed"),
         "error",
         "row_errs",
     )
-    if want_xml:
-        from .render import _json_to_xml
-
-        out = out.withColumn("xml", _json_to_xml("doc"))
     return out

@@ -12,6 +12,12 @@ from pyspark.sql import types as T
 
 # ---------------------------------------------------------------- input ----
 # Exactly the shape mandated by BASELINE.json `input_hint`.
+# CONTRACT: (conv_id, turn_idx) is the primary key — turn_idx is the
+# within-conversation ordering and must be unique per conv_id (the analog of
+# aushape's in-order record stream per event serial). StructType can't
+# declare a key, so the pipeline pins explicit ROWS window frames (a
+# duplicate degrades to a well-defined prefix sum, not tied RANGE buckets)
+# and pipeline.check_unique_turns gives callers a cheap validation frame.
 TRANSCRIPTS = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),

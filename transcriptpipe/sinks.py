@@ -147,15 +147,24 @@ class IcebergCatalog:
         return f"{self.catalog_name}.{self.namespace}.{table}"
 
     # ---------------------------------------------------------- manifest --
+    def _table_exists(self, table: str) -> bool:
+        """Existence probe for the sink table. A probe (rather than a broad
+        try/except around the metadata query) keeps transient failures
+        loud: if the snapshots query dies for any reason OTHER than the
+        table not existing, the exception propagates instead of being
+        misread as "no snapshots" — which would make committed() return
+        False and write() append a duplicate snapshot, silently breaking
+        the exactly-once resume contract."""
+        return self.spark.catalog.tableExists(self._qualified(table))
+
     def _snapshots(self, table: str):
-        """Rows of the Iceberg snapshots metadata table ([] if the table
-        does not exist yet)."""
-        try:
-            return self.spark.sql(
-                f"SELECT snapshot_id, summary FROM {self._qualified(table)}.snapshots"
-            ).collect()
-        except Exception:
+        """Rows of the Iceberg snapshots metadata table ([] only when the
+        table does not exist yet; every other failure propagates)."""
+        if not self._table_exists(table):
             return []
+        return self.spark.sql(
+            f"SELECT snapshot_id, summary FROM {self._qualified(table)}.snapshots"
+        ).collect()
 
     def committed(self, run_id: str, table: str) -> bool:
         return any(
@@ -176,9 +185,13 @@ class IcebergCatalog:
             .option("snapshot-property.run-id", run_id)
             .option("snapshot-property.source-snapshot", source_snapshot or "")
         )
-        try:
+        # Explicit existence branch, NOT try-append/except-create: an append
+        # failing for a real reason (schema mismatch, auth, transient) must
+        # propagate, not be reinterpreted as "table missing" and turned into
+        # a create() that masks the original error.
+        if self._table_exists(table):
             writer.append()
-        except Exception:
+        else:
             # first write: create the table (partitioning/sort order can be
             # ALTERed afterwards; sinks are append-only)
             writer.using("iceberg").create()

@@ -1025,7 +1025,7 @@ enr AS (
          CASE role WHEN 'R0' THEN 'user' WHEN 'R1' THEN 'assistant'
                    WHEN 'R2' THEN 'system' WHEN 'R3' THEN 'tool_call'
                    WHEN 'R4' THEN 'tool_result' ELSE role END AS role,
-         text, tool,
+         text, tool, ts,
          regexp_extract_all(coalesce(text,''), '{_TOKEN_SQL}', 1) AS ks,
          list_transform(
            regexp_extract_all(coalesce(text,''), '{_TOKEN_SQL}', 2),
@@ -1089,6 +1089,7 @@ aent AS (
 perarg AS (
   SELECT conv_id, idx,
     count(*) FILTER (WHERE kind = 'whole') AS n_w,
+    max(v) FILTER (WHERE kind = 'whole') AS wv,
     max(CASE WHEN regexp_full_match(v, '[0-9]+') THEN try_cast(v AS INT) END) FILTER (WHERE kind = 'len') AS decl,
     count(*) FILTER (WHERE kind = 'slice') AS n_sl,
     list(struct_pack(si := si, v := v) ORDER BY si) FILTER (WHERE kind = 'slice') AS sls
@@ -1177,6 +1178,268 @@ SELECT serial // 10 AS doc_id,
 FROM (SELECT try_cast(regexp_extract(conv_id, '(\\d+)$', 1) AS BIGINT) AS serial
       FROM judged WHERE has_record OR error IS NOT NULL)
 GROUP BY 1
+"""
+
+
+def _xe(expr: str) -> str:
+    """Inline DuckDB XML-escape of a VARCHAR expression — the 5-entity
+    chain of render.xml_escape_str (& first). Control chars are absent from
+    the synth grammar (documented: the Spark side additionally maps them to
+    &#xNN;, a grammar-bounded divergence like the mirror's hex note)."""
+    out = expr
+    for src_, dst in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                      ('"', "&quot;"), ("''", "&apos;")):
+        out = f"replace({out}, '{src_}', '{dst}')"
+    return out
+
+
+def _transcript_docs_sql(with_norm: bool = False, xml: bool = False) -> str:
+    """DuckDB mirror of the full DOC BYTES (VERDICT r3 #2): per-turn field
+    fragments (string_agg in token order, to_json escaping), collector
+    assembly in data-section order, args/tools/catch-all members, optional
+    norm{} section, and the XML rendering — all string concatenation,
+    composed the same way relational.render_docs_relational builds members.
+    Mirrors the fixture's regime exactly: no fixture doc reaches the
+    8192-byte trim cap (asserted in tests/test_pipeline_oracle.py), so
+    trimmed is constantly false and the trim cascade needs no mirror here
+    (it is pinned by the engine matrix + golden corpus); valid-hex payloads
+    are valid UTF-8, so DuckDB decode() == Python bytes.decode."""
+    from transcriptpipe import synth as _synth
+
+    reserved = ("'system','user','assistant','tool_call','tool_result',"
+                "'args','tools'")
+    registered = "'user','assistant','system','tool_call','tool_result','EOE'"
+    tool_case = " ".join(
+        f"WHEN '{t['tool_code']}' THEN '{t['tool_name']}'"
+        for t in _synth.tool_dict_rows()
+    )
+    rep_pivot = ",\n    ".join(
+        f"max(jarr) FILTER (WHERE role = '{r}') AS {r}_j,"
+        f" max(xarr) FILTER (WHERE role = '{r}') AS {r}_x"
+        for r in ("user", "assistant", "tool_call")
+    )
+
+    norm_ctes = """
+u0 AS (
+  SELECT r.conv_id, r.turn_idx, f.lv AS m
+  FROM rowcls r LEFT JOIN tokf f
+    ON f.conv_id = r.conv_id AND f.turn_idx = r.turn_idx AND f.k = 'msg'
+  WHERE r.role = 'user'),
+um AS (
+  SELECT conv_id, count(*) AS n_users,
+         (list(m ORDER BY turn_idx))[1] AS first_m,
+         (list(m ORDER BY turn_idx))[-1] AS last_m
+  FROM u0 GROUP BY 1),
+sysk AS (
+  SELECT k.conv_id, to_json(list(k.k ORDER BY k.pos)) AS kj,
+         count(*) AS n_keys
+  FROM tokf k JOIN (SELECT conv_id, min(turn_idx) AS st FROM rowcls
+                    WHERE role = 'system' GROUP BY 1 HAVING count(*) = 1) s
+    ON k.conv_id = s.conv_id AND k.turn_idx = s.st
+  GROUP BY 1),
+fr AS (SELECT conv_id, arg_min(role, turn_idx) AS r0,
+              count(*) FILTER (WHERE role = 'tool_call') AS n_tc,
+              count(*) FILTER (WHERE role = 'tool_result') AS n_slot
+       FROM rowcls GROUP BY 1),"""
+
+    norm_cols = """,
+    um.n_users, um.first_m, um.last_m, sysk.kj, sysk.n_keys,
+    fr.r0, fr.n_tc, fr.n_slot"""
+    norm_joins = """
+  LEFT JOIN um ON um.conv_id = d.conv_id
+  LEFT JOIN sysk ON sysk.conv_id = d.conv_id
+  LEFT JOIN fr ON fr.conv_id = d.conv_id"""
+
+    norm_member = """
+      '"norm":{' || concat_ws(',',
+        '"event_kind":"' || CASE WHEN n_tc > 0 THEN 'tool_use'
+                                 ELSE 'dialogue' END || '"',
+        CASE WHEN serial IS NOT NULL
+             THEN '"session":' || CAST(serial AS VARCHAR) END,
+        '"subject_kind":' || to_json(CASE WHEN coalesce(n_users, 0) > 0
+                                          THEN 'user' ELSE r0 END),
+        CASE WHEN coalesce(n_users, 0) > 0 AND first_m IS NOT NULL
+             THEN '"subject_primary":' || to_json(first_m) END,
+        CASE WHEN coalesce(n_users, 0) >= 2 AND last_m IS NOT NULL
+             THEN '"subject_secondary":' || to_json(last_m) END,
+        CASE WHEN n_keys > 0 THEN '"subject_attrs":' || kj END,
+        '"action":"' || CASE WHEN n_tc > 0 THEN 'call'
+                             ELSE 'converse' END || '"',
+        CASE WHEN n_av > 0 THEN '"object_kind":"tool_args"' END,
+        CASE WHEN n_av >= 1 THEN '"object_primary":' || to_json(avl[1]) END,
+        CASE WHEN n_av >= 2 THEN '"object_secondary":' || to_json(avl[2]) END,
+        CASE WHEN n_av >= 3 THEN '"object_primary2":' || to_json(avl[3]) END,
+        CASE WHEN n_av > 3 THEN '"object_attrs":' || to_json(avl[4:]) END,
+        '"result":' || CAST(n_slot AS VARCHAR),
+        CASE WHEN tools_j IS NOT NULL THEN '"how":' || to_json(tlist[1]) END,
+        '"key":' || to_json(conv_id)
+      ) || '}',"""
+
+    json_doc = """
+    '{' || concat_ws(',',
+      '"serial":' || coalesce(CAST(serial AS VARCHAR), 'null'),
+      '"time":"' || time || '"',
+      '"text":' || tj,
+      CASE WHEN error IS NULL THEN '"data":{' || concat_ws(',',
+        CASE WHEN n_sys = 1 THEN '"system":' || sfrag END,
+        CASE WHEN user_j IS NOT NULL THEN '"user":' || user_j END,
+        CASE WHEN assistant_j IS NOT NULL
+             THEN '"assistant":' || assistant_j END,
+        CASE WHEN tool_call_j IS NOT NULL
+             THEN '"tool_call":' || tool_call_j END,
+        CASE WHEN slot_j IS NOT NULL THEN '"tool_result":' || slot_j END,
+        CASE WHEN has_args THEN '"args":' || aj END,
+        CASE WHEN tools_j IS NOT NULL THEN '"tools":' || tools_j END,
+        cj
+      ) || '}' END,""" + (norm_member if with_norm else "") + """
+      CASE WHEN error IS NOT NULL THEN '"error":' || to_json(error) END
+    ) || '}'"""
+
+    xml_doc = """
+    '<event serial="' || coalesce(CAST(serial AS VARCHAR), 'None')
+      || '" time="' || time || '"'
+      || coalesce(' error="' || """ + _xe("error") + """ || '"', '')
+      || '>'
+      || '<text>' || coalesce(tx, '') || '</text>'
+      || CASE WHEN error IS NULL THEN
+           '<data>' || concat(
+             CASE WHEN n_sys = 1 THEN '<system>' || sxfrag || '</system>' END,
+             user_x, assistant_x, tool_call_x, slot_x,
+             CASE WHEN has_args THEN '<args>' || ax || '</args>' END,
+             CASE WHEN tools_x IS NOT NULL
+                  THEN '<tools>' || tools_x || '</tools>' END,
+             cx
+           ) || '</data>' ELSE '' END
+      || '</event>'"""
+
+    return _transcript_cls_sql() + f""",
+tokf AS (
+  SELECT conv_id, turn_idx, k, min(i) AS pos, arg_max(v, i) AS lv
+  FROM allent GROUP BY 1, 2, 3),
+vrep AS (
+  SELECT conv_id, turn_idx, k, pos,
+    CASE WHEN k = 'hex'
+              AND regexp_full_match(lv, '([0-9A-Fa-f][0-9A-Fa-f])*')
+         THEN [decode(unhex(lv)), lv] ELSE [lv] END AS vlist
+  FROM tokf),
+fragj AS (
+  SELECT conv_id, turn_idx,
+         '{{' || string_agg(to_json(k) || ':' || to_json(vlist),
+                            ',' ORDER BY pos) || '}}' AS frag,
+         string_agg('<f name="' || {_xe('k')} || '">' ||
+                    list_aggregate(list_transform(vlist,
+                        x -> '<v>' || {_xe('x')} || '</v>'),
+                        'string_agg', '') || '</f>',
+                    '' ORDER BY pos) AS xfrag
+  FROM vrep GROUP BY 1, 2),
+turnf AS (
+  SELECT r.conv_id, r.turn_idx, r.role, r.text,
+         coalesce(f.frag, '{{}}') AS frag,
+         coalesce(f.xfrag, '') AS xfrag
+  FROM rowcls r LEFT JOIN fragj f USING (conv_id, turn_idx)),
+tm AS (
+  SELECT conv_id, min(ts) AS min_ts,
+         to_json(list(coalesce(text, '') ORDER BY turn_idx)) AS tj,
+         string_agg('<line>' || {_xe("coalesce(text, '')")} || '</line>',
+                    '' ORDER BY turn_idx) AS tx
+  FROM rowcls GROUP BY 1),
+sysm AS (
+  SELECT conv_id, count(*) AS n_sys,
+         arg_min(frag, turn_idx) AS sfrag,
+         arg_min(xfrag, turn_idx) AS sxfrag
+  FROM turnf WHERE role = 'system' GROUP BY 1),
+repm AS (
+  SELECT conv_id, role,
+         '[' || string_agg(frag, ',' ORDER BY turn_idx) || ']' AS jarr,
+         string_agg('<' || role || '>' || xfrag || '</' || role || '>',
+                    '' ORDER BY turn_idx) AS xarr
+  FROM turnf WHERE role IN ('user', 'assistant', 'tool_call')
+  GROUP BY 1, 2),
+repp AS (
+  SELECT conv_id,
+    {rep_pivot}
+  FROM repm GROUP BY 1),
+slotm AS (
+  SELECT s.conv_id,
+         '[' || string_agg(t.frag, ','
+             ORDER BY (s.item IS NULL), coalesce(s.item, 0), s.turn_idx)
+             || ']' AS jarr,
+         string_agg('<tool_result>' || t.xfrag || '</tool_result>', ''
+             ORDER BY (s.item IS NULL), coalesce(s.item, 0), s.turn_idx
+             ) AS xarr
+  FROM slots s JOIN turnf t USING (conv_id, turn_idx) GROUP BY 1),
+argvals AS (
+  SELECT conv_id, idx,
+    CASE WHEN n_w = 1 AND n_sl = 0 THEN wv
+         WHEN n_w = 0 AND n_sl > 0
+              AND regexp_full_match(hexcat, '([0-9A-Fa-f][0-9A-Fa-f])*')
+         THEN decode(unhex(hexcat)) END AS val
+  FROM (SELECT *, list_aggregate(list_transform(sls, s -> s.v),
+                                 'string_agg', '') AS hexcat
+        FROM perarg)),
+argsj AS (
+  SELECT a.conv_id,
+         coalesce(to_json(list(v.val ORDER BY v.idx)
+                          FILTER (WHERE v.idx IS NOT NULL)), '[]') AS aj,
+         coalesce(string_agg('<a>' || {_xe('v.val')} || '</a>',
+                             '' ORDER BY v.idx), '') AS ax,
+         coalesce(list(v.val ORDER BY v.idx)
+                  FILTER (WHERE v.idx IS NOT NULL), []) AS avlist
+  FROM (SELECT DISTINCT conv_id FROM argent) a
+  LEFT JOIN argvals v USING (conv_id) GROUP BY 1),
+toolm AS (
+  SELECT conv_id, to_json(list(tn ORDER BY ft)) AS tj,
+         string_agg('<t>' || {_xe('tn')} || '</t>', '' ORDER BY ft) AS tx,
+         list(tn ORDER BY ft) AS tlist
+  FROM (SELECT conv_id, tn, min(turn_idx) AS ft
+        FROM (SELECT conv_id, turn_idx,
+                     CASE tool {tool_case} END AS tn
+              FROM rowcls WHERE tool IS NOT NULL)
+        WHERE tn IS NOT NULL GROUP BY 1, 2)
+  GROUP BY 1),
+catchm AS (
+  SELECT conv_id,
+    string_agg(to_json(lower(role)) || ':' || frag,
+               ',' ORDER BY turn_idx) AS cj,
+    string_agg('<' || lower(role) || '>' || xfrag
+               || '</' || lower(role) || '>', '' ORDER BY turn_idx) AS cx
+  FROM (SELECT t.*, row_number() OVER (
+            PARTITION BY conv_id, lower(role) ORDER BY turn_idx) AS rn
+        FROM turnf t
+        WHERE role NOT IN ({registered})
+          AND lower(role) NOT IN ({reserved}))
+  WHERE rn = 1 GROUP BY conv_id),{norm_ctes if with_norm else ''}
+docs AS (
+  SELECT d.conv_id, d.n_turns, d.error, d.has_record,
+    try_cast(regexp_extract(d.conv_id, '(\\d+)$', 1) AS BIGINT) AS serial,
+    strftime(tm.min_ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z' AS time,
+    tm.tj, tm.tx,
+    sysm.n_sys, sysm.sfrag, sysm.sxfrag,
+    repp.user_j, repp.user_x, repp.assistant_j, repp.assistant_x,
+    repp.tool_call_j, repp.tool_call_x,
+    slotm.jarr AS slot_j, slotm.xarr AS slot_x,
+    (argsj.conv_id IS NOT NULL AND e2.execve_err IS NULL) AS has_args,
+    argsj.aj, argsj.ax,
+    CASE WHEN argsj.conv_id IS NOT NULL AND e2.execve_err IS NULL
+         THEN coalesce(len(argsj.avlist), 0) ELSE 0 END AS n_av,
+    CASE WHEN argsj.conv_id IS NOT NULL AND e2.execve_err IS NULL
+         THEN argsj.avlist ELSE [] END AS avl,
+    tl.tj AS tools_j, tl.tx AS tools_x, tl.tlist,
+    catchm.cj, catchm.cx{norm_cols if with_norm else ''}
+  FROM judged d
+  JOIN tm ON tm.conv_id = d.conv_id
+  LEFT JOIN sysm ON sysm.conv_id = d.conv_id
+  LEFT JOIN repp ON repp.conv_id = d.conv_id
+  LEFT JOIN slotm ON slotm.conv_id = d.conv_id
+  LEFT JOIN argsj ON argsj.conv_id = d.conv_id
+  LEFT JOIN execve e2 ON e2.conv_id = d.conv_id
+  LEFT JOIN toolm tl ON tl.conv_id = d.conv_id
+  LEFT JOIN catchm ON catchm.conv_id = d.conv_id{norm_joins if with_norm else ''})
+SELECT conv_id, serial // 100 AS doc_id, serial, time, n_turns,
+  {xml_doc if xml else json_doc} AS doc,
+  false AS trimmed, error
+FROM docs
+WHERE has_record OR error IS NOT NULL
 """
 
 
@@ -1353,12 +1616,14 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_cells": _sql_emb_ivf_cells(),
         "emb_near_dups": _sql_emb_near_dups(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
-        # the full pipeline's error sink, doc envelope, and log batching are
-        # oracle-checked against a DuckDB mirror of the classification run
-        # on the shared synth fixture; only the doc BYTES sinks
-        # (transcript_docs / transcript_xml / transcript_docs_norm) stay
-        # rows-only, pinned by the committed golden corpus + Python oracle
+        # the full pipeline is oracle-checked against a DuckDB mirror of the
+        # classification AND the doc-bytes rendering (round 4: JSON, XML,
+        # and norm docs are string-assembled in SQL, closing the last three
+        # rows-only entries), all run on the shared synth fixture
         "transcript_errors": _sql_transcript_errors(),
         "transcript_doc_envelope": _sql_transcript_doc_envelope(),
         "transcript_log_batch": _sql_transcript_log_batch(),
+        "transcript_docs": _transcript_docs_sql(),
+        "transcript_docs_norm": _transcript_docs_sql(with_norm=True),
+        "transcript_xml": _transcript_docs_sql(xml=True),
     }

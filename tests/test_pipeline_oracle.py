@@ -94,3 +94,90 @@ def test_xml_well_formed(spark_sinks):
         root = ET.fromstring(r["doc"])
         assert root.tag == "event"
         assert root.get("serial") == str(r["serial"])
+
+
+# ---------------------------------------------------------------------------
+# round-4 DuckDB doc-bytes mirror (_transcript_docs_sql)
+# ---------------------------------------------------------------------------
+
+def test_fixture_docs_stay_under_trim_cap():
+    """_transcript_docs_sql mirrors the fixture's regime only: no fixture
+    doc may reach the default 8192-byte trim cap (the mirror renders full
+    docs and pins trimmed=false). If synth ever changes to produce bigger
+    docs, this fails BEFORE the correctness gate silently diverges."""
+    import __spark_entry__ as e
+    import pandas as pd
+
+    rows = pd.read_parquet(e._ensure_fixture()).to_dict("records")
+    for wn in (False, True):
+        res = oracle.run_pipeline(rows, with_norm=wn)
+        mx = max(len(d["doc"].encode()) for d in res["json_doc"])
+        assert mx <= 8192 - 512, f"with_norm={wn}: max doc {mx} too close to cap"
+        assert not any(d["trimmed"] for d in res["json_doc"])
+
+
+def test_docs_sql_mirror_matches_python_oracle_on_torture_corpus(tmp_path):
+    """The DuckDB doc-bytes mirror must reproduce the Python oracle's doc
+    BYTES on inputs beyond the driver fixture: catch-all roles (incl. a
+    lowercase collision with a registered role), XML-escaping characters,
+    argc-only EXECVE, and quoted/escaped values."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as e
+    from transcriptpipe import render, schemas, synth
+
+    ts = dt.datetime(2026, 2, 1)
+    rows = []
+
+    def emit(c, i, role, text, tool=None):
+        rows.append({"conv_id": c, "turn_idx": i, "role": role, "text": text,
+                     "tool": tool, "ts": ts + dt.timedelta(seconds=i)})
+
+    # catch-all role, first-appearance order, plus catch key colliding with
+    # a registered role name after lowercasing (must be excluded)
+    emit("tt-00000001", 0, "system", 'msg="hello <world> & \'quotes\'" policy=standard')
+    emit("tt-00000001", 1, "Critique", 'note="escaped \\"quote\\" here" x=1')
+    emit("tt-00000001", 2, "USER", "msg=collides")     # lower 'user' reserved
+    emit("tt-00000001", 3, "user", "msg=real_user")
+    emit("tt-00000001", 4, "EOE", "")
+    # argc-only execve (args == []) + tools + slots
+    emit("tt-00000002", 0, "tool_call", "argc=0", "T03")
+    emit("tt-00000002", 1, "tool_result", "msg=r item=0")
+    emit("tt-00000002", 2, "EOE", "")
+    # sliced-hex args + a hex field + unknown tool error conv
+    emit("tt-00000003", 0, "tool_call", "argc=1 a0_len=5 a0[0]=68 a0[1]=656C6C6F", "T05")
+    emit("tt-00000003", 1, "assistant", "msg=ok hex=776F7264")
+    emit("tt-00000004", 0, "user", "msg=x", "T93")     # unknown tool
+    emit("tt-00000004", 1, "assistant", "msg=y")
+
+    pdf = pd.DataFrame(rows)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    path = str(tmp_path / "torture.parquet")
+    pdf.to_parquet(path, index=False)
+
+    for wn, xml in ((False, False), (True, False), (False, True)):
+        res = oracle.run_pipeline(pdf.to_dict("records"), with_norm=wn)
+        exp = {}
+        for d in res["json_doc"]:
+            doc = d["doc"]
+            if xml:
+                doc = render.xml_from_doc(json.loads(doc))
+            exp[d["conv_id"]] = (d["serial"], d["time"], d["n_turns"], doc,
+                                 d["error"])
+        sql = e._transcript_docs_sql(with_norm=wn, xml=xml).replace(
+            e._ensure_fixture(), path
+        )
+        got = {r[0]: (r[2], r[3], r[4], r[5], r[7])
+               for r in duckdb.sql(sql).fetchall()}
+        assert set(got) == set(exp), (wn, xml)
+        for cid in exp:
+            assert got[cid] == exp[cid], (cid, wn, xml, got[cid], exp[cid])
+        # sanity on the fixtures: catch-all rendered, collision excluded
+        if not xml and not wn:
+            data = json.loads(exp["tt-00000001"][3])["data"]
+            assert "critique" in data and "user" in data
+            assert data["user"] == [{"msg": ["real_user"]}]

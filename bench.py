@@ -108,16 +108,23 @@ def main() -> None:
     timings["transcript_pipeline_json_only"] = round(min(jruns), 3)
 
     # all-JVM relational engine (no Python workers) — the 100x-scale
-    # fallback; headline stays the fused-arrow default
+    # fallback; headline stays the fused-arrow default. Round 4: measured
+    # with BOTH languages (XML assembly is native Catalyst now, so the
+    # engine is all-JVM for json AND xml), same sink set as the headline
     sruns = []
     for i in range(2):
+        stage = tempfile.mkdtemp(prefix="tp_stage_sql_")
         t0 = time.monotonic()
         sinks = pipeline.build(
-            spark, tdf,
-            pipeline.PipeConf(persist=False, engine="sql", langs=("json",)),
+            spark, tdf, pipeline.PipeConf(stage_dir=stage, engine="sql")
         )
         noop_write(sinks["json_doc"])
+        noop_write(sinks["xml_doc"])
+        noop_write(sinks["error"])
         sruns.append(time.monotonic() - t0)
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     timings["transcript_pipeline_sql_engine"] = round(min(sruns), 3)
 
     # --- headline relational + training-data queries from the contract
@@ -126,8 +133,8 @@ def main() -> None:
         "ev_coalesce", "ev_sessionize", "ev_route_counts",
         "ev_doc_assemble", "ev_cube",
         "tpch_q1", "tpch_q3", "tpch_q5",
-        "doc_dedup_exact", "doc_minhash_lsh", "doc_simhash",
-        "emb_ann_cosine",
+        "doc_dedup_exact", "doc_minhash_lsh", "doc_jaccard_verified",
+        "doc_simhash", "emb_ann_cosine",
     ]:
         t0 = time.monotonic()
         noop_write(qs[name](spark, SF_DIR))

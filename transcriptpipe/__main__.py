@@ -139,6 +139,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     run_id = args.run_id or "cli-" + args.input.strip("/").replace("/", "_")[-40:]
     catalog = sinks.SinkCatalog(args.out)
+    # deployment artifact for a search sink (the reference installs
+    # lib/aushape.mapping.json alongside its outputs)
+    import os
+
+    from . import docschema
+
+    docschema.write_es_mapping(os.path.join(args.out, "_es_mapping.json"))
     tdf = spark.read.parquet(args.input)
     # deselected languages are never built or written (their render work is
     # skipped inside the kernel) — ref -l semantics, lib/conf.c:31-81

@@ -179,3 +179,91 @@ def validate_xml_doc(xml: str) -> None:
                     _fail("<norm> may contain only named <f>")
                 if any(v.tag != "v" for v in f):
                     _fail("<norm> <f> may contain only <v>")
+
+
+# --------------------------------------------------- search index mapping --
+def es_mapping() -> dict:
+    """Elasticsearch index mapping for the json_doc sink — the analog of
+    the reference's shipped lib/aushape.mapping.json:1-92 (serial:long,
+    time:date, per-record-type data sections, *_attrs nested, dynamic
+    templates for unanticipated fields). Derived from the same collector
+    registry that drives the engines, so a new registered role changes the
+    mapping the same way it changes the pipeline.
+
+    Modern-ES dialect (keyword/text instead of the legacy
+    string/not_analyzed of the reference's 2.x-era file); the structure —
+    typed envelope + per-collector data properties + catch-all dynamic
+    templates — mirrors the reference file section for section."""
+    from . import schemas
+
+    data_props: dict = {}
+    for role, coll in schemas.COLLECTORS.items():
+        if coll == schemas.COLL_DROP:
+            continue  # EOE contributes nothing to data{}
+        # uniq-collected roles are single field objects; rep/slot roles are
+        # arrays of field objects — both are `nested` so per-instance field
+        # queries do not cross-match (the reference maps its repeated
+        # record types nested for the same reason)
+        data_props[role] = {"type": "nested" if coll in (
+            schemas.COLL_REP, schemas.COLL_SLOT) else "object"}
+    data_props["args"] = {"type": "text"}
+    data_props["tools"] = {"type": "keyword"}
+
+    return {
+        "date_detection": False,
+        "properties": {
+            "conv_id": {"type": "keyword"},
+            "doc_id": {"type": "long"},
+            "serial": {"type": "long"},
+            "time": {"type": "date"},
+            "n_turns": {"type": "integer"},
+            "error": {"type": "keyword"},
+            "trimmed": {"type": "boolean"},
+            "text": {"type": "text"},
+            "data": {"type": "object", "properties": data_props},
+            "norm": {
+                "type": "object",
+                "properties": {
+                    "subject_attrs": {"type": "keyword"},
+                    "object_attrs": {"type": "keyword"},
+                    "session": {"type": "long"},
+                    "result": {"type": "integer"},
+                },
+            },
+        },
+        "dynamic_templates": [
+            # two-representation field value arrays inside a record object
+            {"generic_nested_fields": {
+                "path_match": "data.*.*.*",
+                "mapping": {"type": "text"},
+            }},
+            # field name -> values inside a record object
+            {"generic_fields": {
+                "path_match": "data.*.*",
+                "mapping": {"type": "text"},
+            }},
+            # catch-all record types (unknown roles under lowercased names)
+            {"generic_records": {
+                "path_match": "data.*",
+                "mapping": {"type": "object"},
+            }},
+            {"norm_generic_fields": {
+                "path_match": "norm.*",
+                "mapping": {"type": "keyword"},
+            }},
+        ],
+    }
+
+
+def write_es_mapping(path: str) -> dict:
+    """Write the mapping artifact (the deployment-time file a search sink
+    consumes, like the reference's installed aushape.mapping.json)."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    m = es_mapping()
+    with open(path, "w") as f:
+        json.dump(m, f, indent=2, sort_keys=True)
+        f.write("\n")
+    return m

@@ -82,11 +82,13 @@ _XML_CTRL_RE = "[" + "".join(f"\\x{i:02x}" for i in _XML_CTRLS) + "]"
 
 
 def _xml_esc(c: Column) -> Column:
-    """XML-escape a string column. Fast path: one regex scan, no rewrite
-    (the overwhelming majority of values); escaping strings pay 5 chained
-    native replaces; the rare control characters a further 29 — identical
-    replacement order to render.xml_escape_str (& first, so the entities'
-    own '&' survives; control replacements introduce no control chars)."""
+    """XML-escape a string column. Fast path: ONE regex scan, no rewrite
+    (the overwhelming majority of values — the first branch tests the full
+    escape class, so clean strings never reach the control-char scan);
+    escaping strings pay 5 chained native replaces; the rare control
+    characters a further 29 — identical replacement order to
+    render.xml_escape_str (& first, so the entities' own '&' survives;
+    control replacements introduce no control chars)."""
     esc5 = c
     for src, dst in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
                      ('"', "&quot;"), ("'", "&apos;")):
@@ -95,9 +97,9 @@ def _xml_esc(c: Column) -> Column:
     for i in _XML_CTRLS:
         full = F.replace(full, F.lit(chr(i)), F.lit(f"&#x{i:X};"))
     return (
-        F.when(c.rlike(_XML_CTRL_RE), full)
-        .when(c.rlike(_XML_ESC_RE), esc5)
-        .otherwise(c)
+        F.when(~c.rlike(_XML_ESC_RE), c)
+        .when(c.rlike(_XML_CTRL_RE), full)
+        .otherwise(esc5)
     )
 
 

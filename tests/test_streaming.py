@@ -241,3 +241,26 @@ def test_stream_matches_batch_at_nondefault_conf(spark, split_input, tmp_path):
     docs = [json.loads(g["doc"]) for g in got.values()]
     assert any("norm" in d for d in docs)
     assert all("text" not in d or d.get("error") for d in docs)
+
+
+def test_stream_xml_matches_batch_xml(spark, split_input, tmp_path):
+    """Round 4: --lang xml streams through the same fused kernel — the
+    streamed xml docs are byte-equal to the Python oracle's xml rendering
+    (and hence to every batch engine's xml_doc sink)."""
+    from transcriptpipe import oracle, render
+
+    in_dir, pdf = split_input
+    out = str(tmp_path / "out_xml")
+    ckpt = str(tmp_path / "ckpt_xml")
+    streaming.run_stream_once(spark, in_dir, out, ckpt, lang="xml")
+
+    got = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+    want = oracle.run_pipeline(pdf.to_dict("records"))
+    want_docs = {d["conv_id"]: d for d in want["json_doc"]}
+    assert set(got) == set(want_docs)
+    for cid, w in want_docs.items():
+        g = got[cid]
+        assert g["complete"], cid
+        assert g["doc"] == render.xml_from_doc(json.loads(w["doc"])), cid
+    # sink schema is the per-language one: the doc column IS the xml
+    assert "xml" not in spark.read.parquet(out).columns

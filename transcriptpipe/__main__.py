@@ -101,18 +101,26 @@ def main(argv: list[str] | None = None) -> int:
             if opt is not None:
                 print(f"warning: {flag} is ignored in --stream mode",
                       file=sys.stderr)
-        if args.lang == "xml":
-            print("error: --stream emits the json doc sink only", file=sys.stderr)
-            return 2
-        ckpt = f"{args.out}/_checkpoint"
+        lang = args.lang
+        if lang == "both":
+            # one streaming query drives one sink; two languages = two
+            # queries with separate checkpoints (or batch mode) — default
+            # to json, as before, and say so
+            print("warning: --stream emits ONE doc sink per query; "
+                  "streaming json (run again with --lang xml for the "
+                  "xml sink, or use batch mode for both)", file=sys.stderr)
+            lang = "json"
+        sink = f"{lang}_doc"
+        ckpt = f"{args.out}/_checkpoint_{lang}"
         streaming.run_stream_once(
-            spark, args.input, f"{args.out}/json_doc", ckpt,
+            spark, args.input, f"{args.out}/{sink}", ckpt,
             watermark=args.watermark,
             max_turns_per_conv=args.max_turns_per_conv,
             with_text=not args.no_text, with_norm=args.with_norm,
             max_doc_bytes=args.max_doc_bytes if args.max_doc_bytes > 0 else None,
+            lang=lang,
         )
-        print(f"streamed -> {args.out}/json_doc", file=sys.stderr)
+        print(f"streamed -> {args.out}/{sink}", file=sys.stderr)
         return 0
 
     if args.watermark is not None:

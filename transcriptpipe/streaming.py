@@ -50,6 +50,7 @@ STREAM_DOC = T.StructType([
     T.StructField("time", T.StringType(), True),
     T.StructField("n_turns", T.IntegerType(), False),
     T.StructField("doc", T.StringType(), False),
+    T.StructField("xml", T.StringType(), True),         # null unless "xml" in langs
     T.StructField("error", T.StringType(), True),
     T.StructField("complete", T.BooleanType(), False),  # EOE seen vs timeout flush
     T.StructField("trimmed", T.BooleanType(), False),   # state cap hit
@@ -69,7 +70,8 @@ STREAM_STATE = T.StructType([
 
 def _assemble(conv_id: str, rows: list[tuple], capped: bool,
               with_text: bool = True, with_norm: bool = False,
-              max_doc_bytes: int | None = None) -> dict | None:
+              max_doc_bytes: int | None = None,
+              want_xml: bool = False) -> dict | None:
     """One conversation -> doc row, via the SAME fused kernel as the batch
     Arrow engine (fastkernel.render_conv) — so every PipeConf rendering
     option (with_text / with_norm / max_doc_bytes trim cascade) behaves
@@ -93,7 +95,7 @@ def _assemble(conv_id: str, rows: list[tuple], capped: bool,
     min_ts = datetime(1970, 1, 1) + timedelta(microseconds=min(r[4] for r in rows))
     rec = fastkernel.render_conv(conv_id, tup, min_ts, capped,
                                  max_doc_bytes, 100, with_text, with_norm,
-                                 want_xml=False)
+                                 want_xml=want_xml)
     if rec is None:
         return None
     return {
@@ -102,6 +104,7 @@ def _assemble(conv_id: str, rows: list[tuple], capped: bool,
         "time": rec["time"],
         "n_turns": rec["n_turns"],
         "doc": rec["doc"],
+        "xml": rec["xml"],  # None unless want_xml (STREAM_DOC column order)
         "error": rec["error"],
         "trimmed": rec["trimmed"],
     }
@@ -110,7 +113,8 @@ def _assemble(conv_id: str, rows: list[tuple], capped: bool,
 def _make_coalesce_fn(timeout_ms: int | None, max_turns_per_conv: int = 2048,
                       event_time_gap_ms: int | None = None,
                       with_text: bool = True, with_norm: bool = False,
-                      max_doc_bytes: int | None = None):
+                      max_doc_bytes: int | None = None,
+                      want_xml: bool = False):
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -122,7 +126,7 @@ def _make_coalesce_fn(timeout_ms: int | None, max_turns_per_conv: int = 2048,
                 return
             out = _assemble(conv_id, rows, capped,
                             with_text=with_text, with_norm=with_norm,
-                            max_doc_bytes=max_doc_bytes)
+                            max_doc_bytes=max_doc_bytes, want_xml=want_xml)
             if out is None:  # P2 empty-event drop
                 return
             trimmed = out.pop("trimmed")  # keep STREAM_DOC column order
@@ -201,7 +205,8 @@ def stream_coalesce(spark: SparkSession, input_path: str,
                     watermark: str | None = None,
                     event_time_gap_ms: int = 60_000,
                     with_text: bool = True, with_norm: bool = False,
-                    max_doc_bytes: int | None = None) -> DataFrame:
+                    max_doc_bytes: int | None = None,
+                    langs: tuple = ("json",)) -> DataFrame:
     """readStream(files) -> stateful EOE-driven coalesce. Returns the
     streaming DataFrame; caller attaches writeStream (see run_stream_once).
 
@@ -226,7 +231,8 @@ def stream_coalesce(spark: SparkSession, input_path: str,
         .parquet(input_path)
     )
     render_opts = dict(with_text=with_text, with_norm=with_norm,
-                       max_doc_bytes=max_doc_bytes)
+                       max_doc_bytes=max_doc_bytes,
+                       want_xml="xml" in langs)
     if watermark is not None:
         raw = raw.withWatermark("ts", watermark)
         timeout_conf = GroupStateTimeout.EventTimeTimeout
@@ -253,16 +259,32 @@ def run_stream_once(spark: SparkSession, input_path: str, out_path: str,
                     checkpoint: str, watermark: str | None = None,
                     max_turns_per_conv: int = 2048,
                     with_text: bool = True, with_norm: bool = False,
-                    max_doc_bytes: int | None = None) -> None:
+                    max_doc_bytes: int | None = None,
+                    lang: str = "json") -> None:
     """Drain all currently-available input (Trigger.AvailableNow) into a
     parquet sink — the batch-ish smoke path used by tests and the CLI's
-    --stream mode (all rendering options thread through)."""
+    --stream mode (all rendering options thread through).
+
+    ``lang`` selects which doc language the single streaming sink carries
+    ("json" or "xml" — round 4: XML streams through the same fused kernel;
+    the xml rendering replaces the doc column so the sink schema stays the
+    per-language one). One streaming query has one sink; to stream BOTH
+    languages run two queries with separate checkpoints, or use batch."""
+    df = stream_coalesce(spark, input_path, checkpoint,
+                         max_turns_per_conv=max_turns_per_conv,
+                         watermark=watermark, with_text=with_text,
+                         with_norm=with_norm, max_doc_bytes=max_doc_bytes,
+                         langs=(lang,) if lang != "xml" else ("json", "xml"))
+    if lang == "xml":
+        from pyspark.sql import functions as F
+
+        df = df.select("conv_id", "serial", "time", "n_turns",
+                       F.col("xml").alias("doc"), "error", "complete",
+                       "trimmed")
+    else:
+        df = df.drop("xml")
     q = (
-        stream_coalesce(spark, input_path, checkpoint,
-                        max_turns_per_conv=max_turns_per_conv,
-                        watermark=watermark, with_text=with_text,
-                        with_norm=with_norm, max_doc_bytes=max_doc_bytes)
-        .writeStream.format("parquet")
+        df.writeStream.format("parquet")
         .option("path", out_path)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

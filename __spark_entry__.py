@@ -639,6 +639,51 @@ WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
 """
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster labels: connected components over the LSH-verified
+    near-dup pair graph (dedup.dup_clusters — iterative min-label
+    propagation, O(|E|) shuffle per round, localCheckpoint lineage
+    truncation). Every doc gets cluster_id = min reachable doc id; the
+    dedup keep-set is doc_id == cluster_id. Oracle: DuckDB recursive CTE
+    transitive closure over the identical candidate pairs."""
+    from transcriptpipe.datalib import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.verified_near_dups(
+        d, id_col="doc_id", text_col="text", threshold=0.8, k=8, bands=4
+    )
+    return dedup.dup_clusters(d, pairs, id_col="doc_id")
+
+
+def _sql_doc_dup_clusters() -> str:
+    # same candidate+verify pipeline as SQL_DOC_JACCARD_VERIFIED, then a
+    # recursive transitive closure (fine at oracle SF; the Spark side is
+    # the scale path) and min-reachable labeling incl. singletons
+    verified = SQL_DOC_JACCARD_VERIFIED.strip()
+    assert verified.startswith("WITH ")
+    return (
+        "WITH RECURSIVE " + verified[len("WITH "):].rsplit("SELECT c.a_id", 1)[0]
+        + """,
+verified AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
+  WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.toks, b.toks))), 3) >= 0.8),
+edg AS (SELECT a_id AS u, b_id AS v FROM verified
+        UNION SELECT b_id, a_id FROM verified),
+reach(u, v) AS (
+  SELECT u, v FROM edg
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edg e ON r.v = e.u)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS cluster_id
+FROM documents d
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
+  ON m.u = d.doc_id
+"""
+    )
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (8-bit, md5-derived bit family) bucket histogram."""
     d = _t(spark, sf_dir, "documents")
@@ -1563,6 +1608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_jaccard_verified": q_doc_jaccard_verified,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_textstats": q_doc_textstats,
@@ -1605,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_lsh": SQL_DOC_MINHASH_LSH,
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_jaccard_verified": SQL_DOC_JACCARD_VERIFIED,
+        "doc_dup_clusters": _sql_doc_dup_clusters(),
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_near": SQL_DOC_SIMHASH_NEAR,
         "doc_textstats": SQL_DOC_TEXTSTATS,

@@ -296,3 +296,83 @@ def test_simhash_near_pairs_hot_block_star(spark, docs):
         did = r["doc_id"]
         if did < 500000:
             assert find(did) == find(did + 500000), did
+
+
+# ------------------------------------------------- duplicate clustering --
+
+def _uf_oracle(n_ids, pairs):
+    parent = {i: i for i in n_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id of each component
+    comp = {}
+    for i in n_ids:
+        comp.setdefault(find(i), []).append(i)
+    out = {}
+    for members in comp.values():
+        m = min(members)
+        for i in members:
+            out[i] = m
+    return out
+
+
+def test_dup_clusters_hand_graph(spark):
+    from transcriptpipe.datalib import dedup
+
+    ids = list(range(1, 9))
+    df = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    # chain 1-2-3, pair 5-6, star 7-8 w/ 4 via 7; singleton: 4? no — 4-7
+    pairs = [(1, 2), (2, 3), (5, 6), (7, 8), (4, 7)]
+    pdf = spark.createDataFrame([(a, b) for a, b in pairs], "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.dup_clusters(df, pdf).collect()}
+    assert got == _uf_oracle(ids, pairs)
+    reps = {r["doc_id"] for r in
+            dedup.cluster_reps(dedup.dup_clusters(df, pdf)).collect()}
+    assert reps == {1, 4, 5}  # min of {1,2,3}, {4,7,8}, {5,6}
+
+
+def test_dup_clusters_random_graphs(spark):
+    import random
+
+    from transcriptpipe.datalib import dedup
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 30
+        ids = list(range(n))
+        pairs = sorted({tuple(sorted(rng.sample(ids, 2)))
+                        for _ in range(rng.randint(5, 25))})
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame([(i, "t") for i in ids],
+                                   "doc_id long, text string")
+        pdf = spark.createDataFrame(pairs, "a_id long, b_id long")
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.dup_clusters(df, pdf, check_every=2).collect()}
+        assert got == _uf_oracle(ids, pairs), (trial, pairs)
+
+
+def test_dup_clusters_chain_exceeding_max_iter_raises(spark):
+    import pytest
+
+    from transcriptpipe.datalib import dedup
+
+    ids = list(range(12))
+    chain = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame([(i, "t") for i in ids], "doc_id long, text string")
+    pdf = spark.createDataFrame(chain, "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dup_clusters(df, pdf, max_iter=3)
+    # enough rounds -> one cluster labeled 0
+    got = {r["cluster_id"] for r in
+           dedup.dup_clusters(df, pdf, max_iter=15).collect()}
+    assert got == {0}

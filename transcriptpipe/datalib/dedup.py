@@ -434,3 +434,69 @@ def embedding_bucket_stats(df: DataFrame, id_col: str = "vec_id",
         F.sum(F.when(F.col("c") > max_bucket, F.col("c")).otherwise(0)).alias("n_capped_members"),
         F.max("c").alias("max_bucket_size"),
     )
+
+
+# ------------------------------------------------- duplicate clustering --
+
+def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 max_iter: int = 20, check_every: int = 1) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every doc gets
+    ``cluster_id`` = the min doc id reachable through pairs (singletons
+    label themselves). The dedup KEEP set is then ``doc_id == cluster_id``
+    — one representative per duplicate cluster, the standard follow-on to
+    minhash/embedding pair generation at corpus scale.
+
+    Algorithm: iterative min-label propagation (label <- min(label,
+    neighbours' labels)) — each round is one join + one map-side-combined
+    groupBy min on the symmetrized edge list, i.e. O(|E|) shuffle per
+    round, converging in <= graph-diameter rounds. Near-dup clusters are
+    dense (star/clique-ish candidates), so the diameter is tiny in
+    practice; ``max_iter`` bounds adversarial chains and raises if
+    propagation has not converged (a chain of length > max_iter). Lineage
+    is truncated with localCheckpoint every round — at 10^10 docs the
+    alternative is a quadratic-growing plan. ``check_every`` batches the
+    convergence-count action (an extra job) across rounds for long chains.
+
+    No driver-side graph state: the driver holds only the changed-label
+    COUNT per checked round.
+    """
+    sym = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    edges = sym.unionByName(
+        pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
+    ).distinct().localCheckpoint(eager=False)
+
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).alias("label"))
+    for it in range(max_iter):
+        nmin = (
+            edges.join(labels, edges["v"] == labels["id"])
+            .groupBy("u").agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(nmin, labels["id"] == nmin["u"], "left")
+            .select(
+                labels["id"].alias("id"),
+                F.least(labels["label"],
+                        F.coalesce(nmin["nlabel"], labels["label"])
+                        ).alias("label"),
+                (F.coalesce(nmin["nlabel"], labels["label"])
+                 < labels["label"]).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = new.filter(F.col("_chg")).limit(1).count()
+            labels = new.drop("_chg")
+            if changed == 0:
+                return labels.select(F.col("id").alias(id_col),
+                                     F.col("label").alias("cluster_id"))
+        else:
+            labels = new.drop("_chg")
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_iter} rounds "
+        "(pair graph contains a chain longer than max_iter)"
+    )
+
+
+def cluster_reps(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The dedup KEEP set: one row per cluster (its min-id representative)."""
+    return clusters.filter(F.col(id_col) == F.col("cluster_id"))

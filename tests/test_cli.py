@@ -124,3 +124,19 @@ def test_cli_fold_writes_folded_sink(spark, tmp_path):
     allfold = {r["conv_id"]: r["doc"]
                for r in SinkCatalog(out3).read(spark, "json_doc").collect()}
     assert allfold == compact
+
+
+def test_parse_size_reference_grammar():
+    """--max-doc-bytes accepts the reference --max-event-size grammar
+    (conf.c:56-63): N / Nk / Nm / unlimited, minimum 1024."""
+    import pytest
+
+    from transcriptpipe.__main__ import parse_size
+
+    assert parse_size("8192") == 8192
+    assert parse_size("8k") == 8192
+    assert parse_size("2K") == 2048
+    assert parse_size("1m") == 1024 * 1024
+    assert parse_size("unlimited") is None
+    with pytest.raises(ValueError):
+        parse_size("512")  # below the reference's 1024 minimum

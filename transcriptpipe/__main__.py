@@ -40,6 +40,23 @@ def parse_events_per_doc(s: str):
     return int(s)
 
 
+def parse_size(s: str) -> int | None:
+    """--max-doc-bytes value grammar, matching the reference's
+    --max-event-size (conf.c:56-63): N bytes, Nk kilobytes, Nm megabytes,
+    "unlimited" -> no cap. The reference's 1024-byte minimum applies."""
+    if s == "unlimited":
+        return None
+    mult = 1
+    if s and s[-1] in "kK":
+        mult, s = 1024, s[:-1]
+    elif s and s[-1] in "mM":
+        mult, s = 1024 * 1024, s[:-1]
+    n = int(s) * mult
+    if n < 1024:
+        raise ValueError(f"--max-doc-bytes minimum is 1024 (got {n})")
+    return n
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="transcriptpipe",
@@ -51,8 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-l", "--lang", choices=["json", "xml", "both"], default="both")
     p.add_argument("--events-per-doc", default=None,
                    help='"none", "all", N (count), or negative bytes budget')
-    p.add_argument("--max-doc-bytes", type=int, default=8192,
-                   help="trim cap per event doc (reference --max-event-size)")
+    p.add_argument("-v", "--version", action="version",
+                   version="transcriptpipe 0.4")
+    p.add_argument("--max-doc-bytes", type=parse_size, default=8192,
+                   help='trim cap per event doc: N, Nk, Nm, or "unlimited" '
+                        "(reference --max-event-size grammar, min 1024)")
     p.add_argument("--max-turns-per-conv", type=int, default=2048)
     p.add_argument("--no-text", action="store_true",
                    help="exclude source text from docs (reference default; "
@@ -117,7 +137,7 @@ def main(argv: list[str] | None = None) -> int:
             watermark=args.watermark,
             max_turns_per_conv=args.max_turns_per_conv,
             with_text=not args.no_text, with_norm=args.with_norm,
-            max_doc_bytes=args.max_doc_bytes if args.max_doc_bytes > 0 else None,
+            max_doc_bytes=args.max_doc_bytes,
             lang=lang,
         )
         print(f"streamed -> {args.out}/{sink}", file=sys.stderr)

@@ -134,7 +134,7 @@ def main() -> None:
         "ev_doc_assemble", "ev_cube",
         "tpch_q1", "tpch_q3", "tpch_q5",
         "doc_dedup_exact", "doc_minhash_lsh", "doc_jaccard_verified",
-        "doc_simhash", "emb_ann_cosine",
+        "doc_dup_clusters", "doc_simhash", "emb_ann_cosine",
     ]:
         t0 = time.monotonic()
         noop_write(qs[name](spark, SF_DIR))

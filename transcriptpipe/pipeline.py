@@ -115,10 +115,26 @@ def check_unique_turns(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def _norm_text(df: DataFrame) -> DataFrame:
+    """Boundary normalization: a null text is the empty line. The input
+    schema declares text nullable, and the reference's model is a log line
+    stream where 'missing' can only mean empty — the Python oracle has
+    always coerced ``row["text"] or ""`` (oracle.parse_turn), but the
+    engines used to carry the null through, rendering ``null`` text lines
+    and dropping the turn's (empty) fields object from the rep collectors
+    — an engine-vs-oracle divergence no fixture exercised until round 4's
+    edge-input probes. Narrow, one expression; the RAW sink is NOT
+    normalized (byte-faithful passthrough)."""
+    return df.withColumn("text", F.coalesce("text", F.lit("")))
+
+
 def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = None
           ) -> dict[str, DataFrame]:
     """Build all sink DataFrames (lazy — nothing executes here)."""
     conf = conf or PipeConf()
+
+    raw_src = transcripts            # raw sink keeps original bytes
+    transcripts = _norm_text(transcripts)
 
     if conf.engine in ("arrow", "arrow_agg"):
         # fast path: broadcast-enrich the RAW rows (no JVM tokenization),
@@ -189,7 +205,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
                 *doc_cols, F.col("xml").alias("doc"), "trimmed", "error"
             )
         sinks["error"] = route.error_sink(rendered)
-        sinks["raw"] = route.raw_sink(transcripts)
+        sinks["raw"] = route.raw_sink(raw_src)
         _finish_sinks(sinks, conf)
         return sinks
 
@@ -231,7 +247,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
                 *doc_cols, F.col("xml").alias("doc"), "trimmed", "error"
             )
         sinks["error"] = route.error_sink(rendered)
-        sinks["raw"] = route.raw_sink(transcripts)
+        sinks["raw"] = route.raw_sink(raw_src)
         _finish_sinks(sinks, conf)
         return sinks
 
@@ -262,7 +278,7 @@ def build(spark: SparkSession, transcripts: DataFrame, conf: PipeConf | None = N
     if "xml" in conf.langs:
         sinks["xml_doc"] = render.render_xml(json_doc)
     sinks["error"] = route.error_sink(docs)
-    sinks["raw"] = route.raw_sink(transcripts)
+    sinks["raw"] = route.raw_sink(raw_src)
     _finish_sinks(sinks, conf)
     return sinks
 
@@ -311,6 +327,7 @@ def rendered_frame(spark: SparkSession, transcripts: DataFrame,
     conf = conf or PipeConf(persist=False)
     from . import arrow_docs
 
+    transcripts = _norm_text(transcripts)
     enriched = enrich.enrich_roles(transcripts, enrich.role_dict_df(spark))
     enriched = enriched.join(
         F.broadcast(enrich.tool_dict_df(spark)),

@@ -39,6 +39,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -230,6 +231,9 @@ def stream_coalesce(spark: SparkSession, input_path: str,
         .option("maxFilesPerTrigger", 1)
         .parquet(input_path)
     )
+    # boundary normalization, same as pipeline._norm_text: null text is the
+    # empty line (the Python oracle's row["text"] or "" coercion)
+    raw = raw.withColumn("text", F.coalesce("text", F.lit("")))
     render_opts = dict(with_text=with_text, with_norm=with_norm,
                        max_doc_bytes=max_doc_bytes,
                        want_xml="xml" in langs)

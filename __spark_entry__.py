@@ -684,6 +684,71 @@ LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
     )
 
 
+def q_doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment by md5 key hash
+    (datalib.sample.hash_split) — retry-stable and cluster-size independent
+    (unlike randomSplit); keyed by the doc's dedup cluster so near-dup
+    members land in ONE split (no train/test leakage)."""
+    from transcriptpipe.datalib import dedup, sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.verified_near_dups(
+        d, id_col="doc_id", text_col="text", threshold=0.8, k=8, bands=4
+    )
+    clusters = dedup.dup_clusters(d, pairs, id_col="doc_id")
+    return sample.hash_split(clusters, key_col="cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+def _sql_doc_hash_split() -> str:
+    """Cluster labels via the recursive closure, then the identical md5
+    split coin: first 8 md5 hex chars of 'split-v1'||cluster_id as uint32
+    vs the cumulative weight thresholds (train .98 / val .01 / test .01)."""
+    cls = _sql_doc_dup_clusters().rstrip()
+    coin = ("try_cast('0x' || substr(md5('split-v1' || "
+            "CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT)")
+    t_train = int(0.98 * (1 << 32))
+    t_val = int(0.99 * (1 << 32))
+    return f"""
+WITH cls AS ({cls})
+SELECT doc_id, cluster_id,
+  CASE WHEN {coin} < {t_train} THEN 'train'
+       WHEN {coin} < {t_val} THEN 'val'
+       ELSE 'test' END AS split
+FROM cls
+"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (datalib.sample.chunk_text): docs split into
+    <=64-token whitespace chunks with an 8-token overlap — the packing step
+    before tokenization for fixed-window training. Narrow (no shuffle)."""
+    from transcriptpipe.datalib import sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample.chunk_text(d, max_tokens=64, overlap=8)
+
+
+SQL_DOC_CHUNKS = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks
+           FROM documents),
+w AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) > 0
+                  THEN range(1, greatest(len(toks) - 8, 1) + 1, 56)
+                  ELSE [] END AS starts
+      FROM t)
+SELECT doc_id,
+       u.i - 1 AS chunk_idx,
+       array_to_string(toks[s:s + 63], ' ') AS chunk_text,
+       CAST(len(toks[s:s + 63]) AS INT) AS n_tokens,
+       s - 1 AS token_start
+FROM (SELECT doc_id, toks, u.s AS s,
+             row_number() OVER (PARTITION BY doc_id ORDER BY u.s) AS i
+      FROM w, unnest(starts) AS u(s)) AS u
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (8-bit, md5-derived bit family) bucket histogram."""
     d = _t(spark, sf_dir, "documents")
@@ -1609,6 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_jaccard_verified": q_doc_jaccard_verified,
         "doc_dup_clusters": q_doc_dup_clusters,
+        "doc_hash_split": q_doc_hash_split,
+        "doc_chunks": q_doc_chunks,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_textstats": q_doc_textstats,
@@ -1652,6 +1719,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "doc_jaccard_verified": SQL_DOC_JACCARD_VERIFIED,
         "doc_dup_clusters": _sql_doc_dup_clusters(),
+        "doc_hash_split": _sql_doc_hash_split(),
+        "doc_chunks": SQL_DOC_CHUNKS,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_near": SQL_DOC_SIMHASH_NEAR,
         "doc_textstats": SQL_DOC_TEXTSTATS,

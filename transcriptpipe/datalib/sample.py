@@ -1,0 +1,93 @@
+"""Dataset splitting, sampling, and context-window chunking — the
+bookkeeping operators a training-data pipeline runs after dedup/filtering.
+
+Everything here is deterministic (md5-keyed) and NARROW — no shuffle, no
+RNG state, no driver coordination — so split membership is reproducible
+across runs, machines, and cluster sizes, and a retried task assigns the
+same rows to the same split (Spark's rand() does not survive task retries
+deterministically; content/key hashing does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 prefix → uniform uint in [0, 2^32) — the split/sample coin
+_BUCKETS = 1 << 32
+
+
+def _hash_u32(key: Column, salt: str) -> Column:
+    return F.conv(F.md5(F.concat(F.lit(salt), key.cast("string"))).substr(1, 8),
+                  16, 10).cast("long")
+
+
+def hash_split(df: DataFrame, key_col: str = "doc_id",
+               weights: dict[str, float] | None = None,
+               salt: str = "split-v1") -> DataFrame:
+    """Assign every row to a named split (train/val/test by default) by
+    hashing ``key_col`` — deterministic, retry-stable, and cluster-size
+    independent, unlike randomSplit (which reshuffles membership whenever
+    partitioning changes). Hashing the KEY (not the content) keeps all
+    near-duplicate cluster members together only if the caller passes the
+    cluster_id as the key — the recommended recipe after dedup.dup_clusters
+    (splitting leakage: near-dups of a test doc landing in train)."""
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    h = _hash_u32(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = h < int(acc * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                salt: str = "sample-v1") -> DataFrame:
+    """Deterministic ``fraction`` sample by key hash (same properties as
+    hash_split; rerunning yields the identical sample)."""
+    return df.filter(
+        _hash_u32(F.col(key_col), salt) < int(fraction * _BUCKETS)
+    )
+
+
+def chunk_text(df: DataFrame, max_tokens: int, overlap: int = 0,
+               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Split documents into context-window chunks of at most ``max_tokens``
+    whitespace tokens, with ``overlap`` tokens carried between consecutive
+    chunks — the pre-tokenization packing step for fixed-window training.
+
+    Pure narrow column work: split → sequence of window starts →
+    posexplode → slice + rejoin. One output row per (doc, chunk_idx) with
+    the chunk text and its token span; no shuffle (downstream repacking /
+    shuffling is the caller's policy)."""
+    if not (0 <= overlap < max_tokens):
+        raise ValueError("require 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    # window starts: 1, 1+step, ... (1-based for F.slice); empty text -> one
+    # empty chunk is NOT emitted (no tokens, nothing to train on)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
+                          F.lit(step))
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.withColumn("_toks", toks).withColumn("_starts", starts)
+    out = out.select(
+        F.col(id_col),
+        F.posexplode("_starts").alias("chunk_idx", "_start"),
+        F.col("_toks"),
+    )
+    chunk = F.slice("_toks", F.col("_start"), F.lit(max_tokens))
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+        (F.col("_start") - 1).alias("token_start"),
+    )

@@ -1058,6 +1058,50 @@ WHERE round(list_sum(list_transform(range(1, {dim + 1}), i -> a.ve[i] * c.ve[i])
 """
 
 
+def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the EMBEDDING near-dup graph — the same
+    connected-components operator as doc_dup_clusters, fed by the cosine
+    pair source instead of MinHash (dedup.dup_clusters is pair-source
+    agnostic; one cluster table per modality is the curation pattern)."""
+    from pyspark.sql import functions as F
+
+    from transcriptpipe.datalib import dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dups(e, threshold=0.25, planes=8, seed=42
+                                      ).select(
+        F.col("a_id"), F.col("b_id")
+    )
+    ids = e.select(F.col("vec_id").alias("doc_id"))
+    return dedup.dup_clusters(ids, pairs, id_col="doc_id")
+
+
+def _sql_emb_dup_clusters() -> str:
+    pairs = _sql_emb_near_dups().strip()
+    assert pairs.startswith("WITH ")
+    return ("WITH RECURSIVE " + pairs[len("WITH "):].split("SELECT a.vec_id", 1)[0]
+            + """,
+verified AS (
+  SELECT a.vec_id AS a_id, c.vec_id AS b_id
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round(list_sum(list_transform(range(1, 65), i -> a.ve[i] * c.ve[i]))
+              / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.ve, x -> x * x)))), 4)
+        >= 0.25),
+edg AS (SELECT a_id AS u, b_id AS v FROM verified
+        UNION SELECT b_id, a_id FROM verified),
+reach(u, v) AS (
+  SELECT u, v FROM edg
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN edg e2 ON r.v = e2.u)
+SELECT e.vec_id AS doc_id,
+       least(e.vec_id, coalesce(m.mn, e.vec_id)) AS cluster_id
+FROM embeddings e
+LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
+  ON m.u = e.vec_id
+""")
+
+
 def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics (vector math via aggregate())."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1686,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_ivf_cells": q_emb_ivf_cells,
         "emb_near_dups": q_emb_near_dups,
+        "emb_dup_clusters": q_emb_dup_clusters,
         "emb_norm_stats": q_emb_norm_stats,
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
@@ -1731,6 +1776,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_ivf_cells": _sql_emb_ivf_cells(),
         "emb_near_dups": _sql_emb_near_dups(),
+        "emb_dup_clusters": _sql_emb_dup_clusters(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         # the full pipeline is oracle-checked against a DuckDB mirror of the
         # classification AND the doc-bytes rendering (round 4: JSON, XML,

@@ -75,6 +75,28 @@ _SERIAL_SEARCH = _re.compile(r"(\d+)$").search
 _FPREF_CACHE: dict[str, str] = {}
 
 
+# ---- manual JSON string escaping, byte-equal to
+# json.dumps(s, ensure_ascii=False): only '"', '\\' and C0 controls escape
+# (short forms \b \t \n \f \r, else \u00xx lowercase); everything else —
+# including non-ASCII and \x7f — passes through raw. The fast path is one
+# C-level regex scan (the overwhelming majority of values are clean).
+_JESC_RE = _re.compile(r'["\\\x00-\x1f]')
+_JSHORT = {'"': '\\"', "\\": "\\\\", "\n": "\\n", "\t": "\\t",
+           "\r": "\\r", "\b": "\\b", "\f": "\\f"}
+
+
+def _jsub(m) -> str:
+    c = m.group(0)
+    s = _JSHORT.get(c)
+    return s if s is not None else f"\\u{ord(c):04x}"
+
+
+def json_str(s: str, _srch=_JESC_RE.search, _sub=_JESC_RE.sub) -> str:
+    if _srch(s) is None:
+        return f'"{s}"'
+    return f'"{_sub(_jsub, s)}"'
+
+
 def _fpref(k: str) -> str:
     p = _FPREF_CACHE.get(k)
     if p is None:
@@ -177,16 +199,18 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
     xesc = xml_escape_str
     fpref_get = _FPREF_CACHE.get
 
+    jstr = json_str
     texts: list = []
     n_records = 0
     add_errs: list = []          # (turn_idx, code) — earliest wins
     row_errs: list = []          # (turn_idx, code, text) for the error sink
     uniq_seen: set = set()
-    sys_insts: list = []         # (fields, fxml) uniq-collected instances
+    sys_insts: list = []         # (fields, fxml, fjson) uniq-collected instances
     rep_data: dict = {r: [] for r in _REP_ROLES}
     rep_xml: dict = {r: [] for r in _REP_ROLES}
-    slot_rows: list = []         # (item_idx, fields, fxml) in turn order
-    catch_all: list = []         # (lowered_role, fields, fxml) first appearance
+    rep_json: dict = {r: [] for r in _REP_ROLES}
+    slot_rows: list = []         # (item_idx, fields, fxml, fjson) in turn order
+    catch_all: list = []         # (lowered_role, fields, fxml, fjson) first appearance
     tools: list = []
     tools_seen: set = set()
     # execve token collection (tool_call turns only)
@@ -205,7 +229,8 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
         pairs = token_findall(text) if text else ()
         fields: dict = {}
         frag: dict = {}
-        hex_bad = False
+        jf: dict = {}            # per-key '"k":[…]' JSON members (keys are
+        hex_bad = False          # grammar word-chars — no key escaping)
         for k, v in pairs:
             if v[0] == '"' and len(v) >= 2 and v[-1] == '"':
                 v = v[1:-1]
@@ -221,6 +246,7 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                     # escape defensively — the raw token can be any \S+
                     fields[k] = [v]
                     frag[k] = f"{pref}{v if xsrch(v) is None else xesc(v)}</v></f>"
+                    jf[k] = f'"{k}":[{jstr(v)}]'
                     hex_bad = True
                 else:
                     fields[k] = [d, v]
@@ -228,10 +254,12 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                         f"{pref}{d if xsrch(d) is None else xesc(d)}"
                         f"</v><v>{v}</v></f>"
                     )
+                    jf[k] = f'"{k}":[{jstr(d)},{jstr(v)}]'
                     hex_bad = False
             else:
                 fields[k] = [v]
                 frag[k] = f"{pref}{v if xsrch(v) is None else xesc(v)}</v></f>"
+                jf[k] = f'"{k}":[{jstr(v)}]'
 
         # row errors (F5/F6/F7 add-time errors, ref rc.h:24-48)
         if pairs:
@@ -255,6 +283,7 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
         if coll is _REP:
             rep_data[role].append(fields)
             rep_xml[role].append(frag)
+            rep_json[role].append(jf)
             if role == "tool_call":
                 n_tool_calls += 1
                 for k, fv in fields.items():
@@ -280,12 +309,12 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                 user_msgs.append(mv[0] if mv else None)
         elif coll is _SLOT:
             iv = fields.get("item")
-            slot_rows.append((try_int(iv[0]) if iv else None, fields, frag))
+            slot_rows.append((try_int(iv[0]) if iv else None, fields, frag, jf))
         elif coll is _UNIQ:
             if role in uniq_seen:
                 add_errs.append((turn_idx, _REPEATED))
             uniq_seen.add(role)
-            sys_insts.append((fields, frag))
+            sys_insts.append((fields, frag, jf))
         elif coll is None:  # catch-all
             key = role.lower()
             if key in uniq_seen:
@@ -293,7 +322,7 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
             else:
                 uniq_seen.add(key)
                 if key not in _RESERVED_DATA_KEYS:
-                    catch_all.append((key, fields, frag))
+                    catch_all.append((key, fields, frag, jf))
         # drop: contributes nothing
 
     # ---- end-of-event validation (error precedence mirrors assemble_docs:
@@ -335,13 +364,16 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
     # in the same key order (a field frag is one joined <f…> run).
     data = None
     data_xml = None
+    data_json = None
     if error is None:
         data = {}
         xp = []
+        jp = []
         if len(sys_insts) == 1:
-            f0, x0 = sys_insts[0]
+            f0, x0, j0 = sys_insts[0]
             data["system"] = f0
             xp.append(f"<system>{''.join(x0.values())}</system>")
+            jp.append('"system":{' + ",".join(j0.values()) + "}")
         for role in _REP_ROLES:
             lst = rep_data[role]
             if lst:
@@ -350,11 +382,21 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                 xp.extend(
                     [f"{op}{''.join(x.values())}{cl}" for x in rep_xml[role]]
                 )
+                jp.append(
+                    f'"{role}":[' + ",".join(
+                        "{" + ",".join(j.values()) + "}" for j in rep_json[role]
+                    ) + "]"
+                )
         if results:
             data[_SLOT_ROLE] = [r[1] for r in results]
             xp.extend(
                 [f"{_SLOT_OPEN}{''.join(r[2].values())}{_SLOT_CLOSE}"
                  for r in results]
+            )
+            jp.append(
+                f'"{_SLOT_ROLE}":[' + ",".join(
+                    "{" + ",".join(r[3].values()) + "}" for r in results
+                ) + "]"
             )
         if args is not None:  # args == [] still renders (oracle keeps non-None)
             data["args"] = args
@@ -365,6 +407,7 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                 )
                 + "</args>"
             )
+            jp.append('"args":[' + ",".join(jstr(a) for a in args) + "]")
         if tools:
             data["tools"] = tools
             xp.append(
@@ -374,11 +417,14 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                 )
                 + "</tools>"
             )
-        for key, fields, frag in catch_all:
+            jp.append('"tools":[' + ",".join(jstr(t) for t in tools) + "]")
+        for key, fields, frag, jfd in catch_all:
             if key not in data:
                 data[key] = fields
                 xp.append(f"<{key}>{''.join(frag.values())}</{key}>")
+                jp.append(jstr(key) + ":{" + ",".join(jfd.values()) + "}")
         data_xml = "".join(xp)
+        data_json = '"data":{' + ",".join(jp) + "}"
 
     norm = None
     if with_norm:
@@ -402,27 +448,52 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
         }
         norm = {k: v for k, v in norm.items() if v is not None and v != []}
 
-    # ---- render (one dumps on the common path; trim cascade mirrors
-    # oracle.max_text_lines / gbtree.c:468-606 byte-for-byte)
+    # ---- render: member strings composed directly (round 4 — no dict
+    # build + json.dumps walk per variant; members are rendered ONCE and
+    # every trim variant reuses them). json_str is byte-equal to
+    # json.dumps(ensure_ascii=False), so the assembled doc is byte-equal to
+    # the oracle's dumps of the same object (JSON is context-free). Trim
+    # cascade mirrors oracle.max_text_lines / gbtree.c:468-606.
     text_on = with_text or error is not None
 
-    def dump(obj_text, obj_norm: bool, obj_data: bool, trimmed: bool):
-        obj = {"serial": serial, "time": time_str}
-        if obj_text is not None:
-            obj["text"] = obj_text
-        if obj_data and data is not None:
-            obj["data"] = data
-        if obj_norm and norm:
-            obj["norm"] = norm
-        if error is not None:
-            obj["error"] = error
-        if trimmed:
-            obj["trimmed"] = True
-        return obj, json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+    m_serial = f'"serial":{serial}' if serial is not None else '"serial":null'
+    m_time = f'"time":"{time_str}"'
+    m_error = f'"error":"{error}"' if error is not None else None
+    norm_json = None
+    if norm:
+        njp = []
+        for k, v in norm.items():
+            if type(v) is str:
+                njp.append(f'"{k}":{jstr(v)}')
+            elif type(v) is list:
+                njp.append(f'"{k}":[' + ",".join(jstr(x) for x in v) + "]")
+            else:  # int (session / result)
+                njp.append(f'"{k}":{v}')
+        norm_json = '"norm":{' + ",".join(njp) + "}"
 
-    obj, full = dump(texts if text_on else None, True, True, False)
+    jlines = ([jstr(t) if t is not None else "null" for t in texts]
+              if text_on else None)
+
+    def dump_s(n_text, norm_on: bool, data_on: bool, trimmed: bool) -> str:
+        parts = [m_serial, m_time]
+        if n_text is not None:
+            parts.append('"text":[' + ",".join(jlines[:n_text]) + "]")
+        if data_on and data_json is not None:
+            parts.append(data_json)
+        if norm_on and norm_json is not None:
+            parts.append(norm_json)
+        if m_error is not None:
+            parts.append(m_error)
+        if trimmed:
+            parts.append('"trimmed":true')
+        return "{" + ",".join(parts) + "}"
+
+    n_full = len(texts) if text_on else None
+    full = dump_s(n_full, True, True, False)
     trimmed = bool(turn_capped)
     doc = full
+    # the chosen variant's member presence, for the XML rendering below
+    v_text, v_norm, v_data, v_trim = n_full, bool(norm), data is not None, False
     # fit check without encoding: chars <= bytes, so len > cap is a certain
     # miss; len <= cap is a certain fit for ASCII docs (chars == bytes)
     if max_doc_bytes is not None and (
@@ -430,48 +501,60 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
         or (not full.isascii() and len(full.encode("utf-8")) > max_doc_bytes)
     ):
         trimmed = True
-        _, no_text = dump(None, True, True, True)
-        k = _max_text_lines(
-            texts, max_doc_bytes - len(no_text.encode("utf-8"))
-        ) if text_on else 0
+        no_text = dump_s(None, True, True, True)
+        k = 0
+        if text_on:
+            budget = max_doc_bytes - len(no_text.encode("utf-8"))
+            used = 9
+            for j in jlines:
+                b = (len(j) if j.isascii() else len(j.encode("utf-8"))) + 1
+                if used + b > budget:
+                    break
+                used += b
+                k += 1
         if k > 0:
-            obj, doc = dump(texts[:k], True, True, True)
+            doc = dump_s(k, True, True, True)
+            v_text, v_norm, v_data, v_trim = k, bool(norm), data is not None, True
         else:
-            for variant in ((True, True), (False, True), (False, False)):
-                obj, doc = dump(None, *variant, True)
+            for norm_on, data_on in ((True, True), (False, True),
+                                     (False, False)):
+                doc = dump_s(None, norm_on, data_on, True)
+                v_text, v_norm, v_data, v_trim = (
+                    None, norm_on and bool(norm),
+                    data_on and data is not None, True)
                 if len(doc.encode("utf-8")) <= max_doc_bytes:
                     break
 
     # ---- XML assembly from precomputed fragments (byte-equal to
-    # render.xml_from_doc(obj); member presence follows the final obj)
+    # render.xml_from_doc of the chosen doc variant; member presence
+    # follows the v_* flags the cascade recorded)
     xml = None
     if want_xml:
         xb = [f'<event serial="{serial}" time="{time_str}"']
         if error:
             xb.append(f' error="{error if xsrch(error) is None else xesc(error)}"')
-        if "trimmed" in obj:
+        if v_trim:
             xb.append(' trimmed="true"')
         xb.append(">")
-        otext = obj.get("text")
-        if otext is not None:
+        if v_text is not None:
             xb.append("<text>")
             if xml_line_frags is not None:
-                xb.extend(xml_line_frags if len(otext) == len(texts)
-                          else xml_line_frags[: len(otext)])
+                xb.extend(xml_line_frags if v_text == len(texts)
+                          else xml_line_frags[:v_text])
             else:
                 xb.extend(
                     [f"<line>{t if xsrch(t) is None else xesc(t)}</line>"
-                     if t is not None else "<line></line>" for t in otext]
+                     if t is not None else "<line></line>"
+                     for t in texts[:v_text]]
                 )
             xb.append("</text>")
-        if "data" in obj:
+        if v_data:
             xb.append("<data>")
             xb.append(data_xml)
             xb.append("</data>")
-        onorm = obj.get("norm")
-        if onorm is not None:
+        if v_norm:
             xb.append("<norm>")
-            for k, v in onorm.items():
+            for k, v in norm.items():
                 vals = v if isinstance(v, list) else [v]
                 xb.append(
                     f'<f name="{_xml_name(k)}">'

@@ -1076,15 +1076,18 @@ def q_emb_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(ids, pairs, id_col="doc_id")
 
 
-def _sql_emb_dup_clusters() -> str:
-    pairs = _sql_emb_near_dups().strip()
+def _sql_emb_dup_clusters(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    # same (planes, dim, seed) as the pair oracle it is spliced from — the
+    # cosine verification below MUST use the same `dim` or it would silently
+    # compute over a truncated prefix if the fixture dimension ever changed
+    pairs = _sql_emb_near_dups(planes, dim, seed).strip()
     assert pairs.startswith("WITH ")
     return ("WITH RECURSIVE " + pairs[len("WITH "):].split("SELECT a.vec_id", 1)[0]
-            + """,
+            + f""",
 verified AS (
   SELECT a.vec_id AS a_id, c.vec_id AS b_id
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-  WHERE round(list_sum(list_transform(range(1, 65), i -> a.ve[i] * c.ve[i]))
+  WHERE round(list_sum(list_transform(range(1, {dim + 1}), i -> a.ve[i] * c.ve[i]))
               / (sqrt(list_sum(list_transform(a.ve, x -> x * x)))
                  * sqrt(list_sum(list_transform(c.ve, x -> x * x)))), 4)
         >= 0.25),

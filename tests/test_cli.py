@@ -126,6 +126,39 @@ def test_cli_fold_writes_folded_sink(spark, tmp_path):
     assert allfold == compact
 
 
+def test_parse_fold_grammar(capsys):
+    """--fold grammar is an argparse type: none/all/N accepted, junk gets a
+    usage error (exit 2), not a ValueError traceback (ADVICE r4)."""
+    import argparse
+
+    import pytest
+
+    from transcriptpipe.__main__ import build_parser, parse_fold
+
+    assert parse_fold("none") == 1 << 30
+    assert parse_fold("all") == 0
+    assert parse_fold("3") == 3
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_fold("deep")
+    with pytest.raises(SystemExit) as ei:
+        build_parser().parse_args(["in", "-O", "out", "--fold", "deep"])
+    assert ei.value.code == 2
+    assert "--fold" in capsys.readouterr().err
+
+
+def test_stream_legacy_checkpoint_guard(tmp_path, capsys):
+    """0.3->0.4 migration (ADVICE r4): a legacy {out}/_checkpoint dir must
+    fail the stream run loudly (exit 2 + hint), never silently start a
+    fresh checkpoint that re-appends every doc."""
+    out = tmp_path / "wh_legacy"
+    (out / "_checkpoint").mkdir(parents=True)
+    rc = main([str(tmp_path / "absent.parquet"), "-O", str(out),
+               "--stream", "--lang", "json"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "legacy 0.3 stream checkpoint" in err and "_checkpoint_json" in err
+
+
 def test_parse_size_reference_grammar():
     """--max-doc-bytes accepts the reference --max-event-size grammar
     (conf.c:56-63): N / Nk / Nm / unlimited, minimum 1024."""

@@ -57,6 +57,21 @@ def parse_size(s: str) -> int | None:
     return n
 
 
+def parse_fold(s: str) -> int:
+    """--fold value grammar (ref conf.c:43-70): "none" = unfold fully (a
+    level no doc nesting reaches), "all" = fold everything (compact),
+    N = unfold nesting levels <= N.  An argparse `type` callable so a bad
+    value ("--fold=deep") yields a usage error, not a traceback."""
+    lvl = {"none": 1 << 30, "all": 0}.get(s)
+    if lvl is None:
+        try:
+            lvl = int(s)
+        except ValueError:
+            raise argparse.ArgumentTypeError(
+                f'expected "none", "all", or an integer level (got {s!r})')
+    return lvl
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="transcriptpipe",
@@ -79,7 +94,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "--with-text inverse)")
     p.add_argument("--with-norm", action="store_true",
                    help="include normalized summary section")
-    p.add_argument("--fold", default=None, metavar="LEVEL",
+    p.add_argument("--fold", type=parse_fold, default=None, metavar="LEVEL",
                    help='pretty-print docs: "none" unfolds fully, "all" '
                         'folds everything (compact), N unfolds nesting '
                         "levels <= N (reference --fold, default: no "
@@ -132,6 +147,26 @@ def main(argv: list[str] | None = None) -> int:
             lang = "json"
         sink = f"{lang}_doc"
         ckpt = f"{args.out}/_checkpoint_{lang}"
+        # 0.3 -> 0.4 migration guard: 0.3 streams checkpointed at
+        # {out}/_checkpoint (one lang-less path) and wrote a doc schema
+        # without the xml column.  Starting a 0.4 stream over such an out
+        # dir would silently begin a FRESH checkpoint and re-append every
+        # input doc into the existing sink — fail loudly instead (see
+        # README "Upgrading" table).
+        import os
+
+        legacy_ckpt = os.path.join(args.out, "_checkpoint")
+        if os.path.isdir(legacy_ckpt):
+            print(
+                f"error: legacy 0.3 stream checkpoint found at {legacy_ckpt}; "
+                f"0.4 checkpoints at {ckpt} and its doc schema adds the xml "
+                "column, so resuming would reprocess all input and append "
+                "duplicate docs. Either drain into a NEW --out dir, or (to "
+                "accept a one-time rebuild) delete the old checkpoint AND "
+                f"the {sink} sink dir, then rerun.",
+                file=sys.stderr,
+            )
+            return 2
         streaming.run_stream_once(
             spark, args.input, f"{args.out}/{sink}", ckpt,
             watermark=args.watermark,
@@ -146,13 +181,6 @@ def main(argv: list[str] | None = None) -> int:
     if args.watermark is not None:
         print("warning: --watermark only applies to --stream mode", file=sys.stderr)
     langs = ("json", "xml") if args.lang == "both" else (args.lang,)
-    # --fold mapping (ref conf.c:43-70): none = unfold fully (a level no
-    # doc nesting reaches), all = fold everything (compact), N = N levels
-    fold_level = None
-    if args.fold is not None:
-        fold_level = {"none": 1 << 30, "all": 0}.get(args.fold)
-        if fold_level is None:
-            fold_level = int(args.fold)
     conf = pipeline.PipeConf(
         max_doc_bytes=args.max_doc_bytes,
         max_turns_per_conv=args.max_turns_per_conv,
@@ -162,7 +190,7 @@ def main(argv: list[str] | None = None) -> int:
         doc_batch=(parse_events_per_doc(args.events_per_doc)
                    if args.events_per_doc is not None else None),
         langs=langs,
-        fold_level=fold_level,
+        fold_level=args.fold,
         indent=args.indent,
     )
     run_id = args.run_id or "cli-" + args.input.strip("/").replace("/", "_")[-40:]

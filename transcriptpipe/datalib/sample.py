@@ -71,8 +71,11 @@ def chunk_text(df: DataFrame, max_tokens: int, overlap: int = 0,
     step = max_tokens - overlap
     toks = F.split(F.col(text_col), r"\s+")
     n = F.size(toks)
-    # window starts: 1, 1+step, ... (1-based for F.slice); empty text -> one
-    # empty chunk is NOT emitted (no tokens, nothing to train on)
+    # window starts: 1, 1+step, ... (1-based for F.slice). Note split('')
+    # yields [''] (n=1) on BOTH Spark and the DuckDB mirror, so an
+    # empty-string text emits one chunk with chunk_text='' / n_tokens=1;
+    # only NULL text (n is null, the guard below) emits nothing. Callers
+    # wanting to drop token-free docs should pre-filter trim(text) != ''.
     starts = F.when(
         n > 0, F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)),
                           F.lit(step))

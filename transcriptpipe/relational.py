@@ -139,17 +139,6 @@ def _xml_wrap_each(arr: Column, tag: str) -> Column:
     )
 
 
-def _xml_norm_f(name: str, vals: Column) -> Column:
-    """'<f name="name"><v>v</v>…</f>' from an array of RAW (unescaped)
-    value strings; null when vals is null/empty (member omitted, matching
-    the JSON side's null-skip)."""
-    body = _xml_wrap_each(F.transform(vals, _xml_esc), "v")
-    return F.when(
-        vals.isNotNull() & (F.size(vals) > 0),
-        F.concat(F.lit(f'<f name="{name}">'), body, F.lit("</f>")),
-    )
-
-
 def _args_branch(parsed: DataFrame) -> DataFrame:
     """EXECVE reassembly (A5) as pure relational operators. Returns one row
     per conversation that carried any argc/aN token: (conv_id, execve_err,

@@ -749,6 +749,97 @@ FROM (SELECT doc_id, toks, u.s AS s,
 """
 
 
+_BENCH_COIN_THR = int(0.2 * (1 << 32))  # 20% of docs play the "benchmark"
+
+
+def q_doc_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (datalib.dedup.decontaminate): flag corpus
+    docs overlapping a held-out eval set by exact hash OR word-3-gram
+    containment >= 0.5 over the benchmark doc's discriminative shingles.
+    The eval set is a deterministic 20% md5-coin sample of documents (salt
+    "bench-v1"); candidates via shingle EQUI-join — no theta join."""
+    from transcriptpipe.datalib import dedup, sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    coin = sample._hash_u32(F.col("doc_id"), "bench-v1")
+    bench = d.filter(coin < _BENCH_COIN_THR).select(
+        F.col("doc_id").alias("bench_id"), "text")
+    corpus = d.filter(coin >= _BENCH_COIN_THR)
+    return dedup.decontaminate(corpus, bench, threshold=0.5)
+
+
+SQL_DOC_DECONTAM = f"""
+WITH coin AS (SELECT doc_id, text,
+        try_cast('0x' || substr(md5('bench-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) AS h
+        FROM documents),
+bench AS (SELECT doc_id AS bench_id, text FROM coin WHERE h < {_BENCH_COIN_THR}),
+corpus AS (SELECT doc_id, text FROM coin WHERE h >= {_BENCH_COIN_THR}),
+bw AS (SELECT bench_id, string_split(text, ' ') AS w FROM bench),
+bsh AS (SELECT DISTINCT bench_id, sh FROM (
+          SELECT bench_id, unnest(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' '))) AS sh
+          FROM bw WHERE len(w) >= 3)),
+dfq AS (SELECT sh FROM bsh GROUP BY sh HAVING count(*) <= 1000),
+bshc AS (SELECT b.bench_id, b.sh FROM bsh b JOIN dfq USING (sh)),
+bsz AS (SELECT bench_id, count(*) AS n_sh FROM bshc GROUP BY bench_id),
+cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+csh AS (SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' '))) AS sh
+          FROM cw WHERE len(w) >= 3)),
+ov AS (SELECT c.doc_id, b.bench_id, count(*) AS overlap
+       FROM csh c JOIN bshc b USING (sh) GROUP BY 1, 2),
+ng AS (SELECT doc_id, bench_id,
+              round(overlap * 1.0 / n_sh, 3) AS containment
+       FROM ov JOIN bsz USING (bench_id)
+       WHERE round(overlap * 1.0 / n_sh, 3) >= 0.5),
+ex AS (SELECT c.doc_id, b.bench_id, TRUE AS exact
+       FROM corpus c JOIN bench b ON md5(c.text) = md5(b.text))
+SELECT coalesce(ng.doc_id, ex.doc_id) AS doc_id,
+       coalesce(ng.bench_id, ex.bench_id) AS bench_id,
+       coalesce(ex.exact, FALSE) AS exact,
+       ng.containment
+FROM ng FULL JOIN ex ON ng.doc_id = ex.doc_id AND ng.bench_id = ex.bench_id
+"""
+
+
+def q_doc_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing via concat-then-chunk (datalib.sample.pack_chunks):
+    md5-coin bucket assignment -> in-bucket (hash, id)-ordered concat ->
+    64-token windows. Deterministic and fully relational (greedy next-fit
+    packing has per-bucket sequential state and no clean SQL mirror)."""
+    from transcriptpipe.datalib import sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample.pack_chunks(d, max_tokens=64, buckets=16)
+
+
+SQL_DOC_PACKED = """
+WITH coin AS (SELECT doc_id, text,
+        try_cast('0x' || substr(md5('pack-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) AS h
+        FROM documents),
+pk AS (SELECT CAST(h % 16 AS INT) AS bucket,
+              string_agg(text, ' ' ORDER BY h, doc_id) AS text
+       FROM coin GROUP BY 1),
+t AS (SELECT bucket, string_split_regex(text, '\\s+') AS toks FROM pk),
+w AS (SELECT bucket, toks,
+             CASE WHEN len(toks) > 0
+                  THEN range(1, greatest(len(toks), 1) + 1, 64)
+                  ELSE [] END AS starts
+      FROM t)
+SELECT bucket,
+       u.i - 1 AS chunk_idx,
+       array_to_string(toks[s:s + 63], ' ') AS chunk_text,
+       CAST(len(toks[s:s + 63]) AS INT) AS n_tokens,
+       s - 1 AS token_start
+FROM (SELECT bucket, toks, u.s AS s,
+             row_number() OVER (PARTITION BY bucket ORDER BY u.s) AS i
+      FROM w, unnest(starts) AS u(s)) AS u
+"""
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (8-bit, md5-derived bit family) bucket histogram."""
     d = _t(spark, sf_dir, "documents")
@@ -1723,6 +1814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_hash_split": q_doc_hash_split,
         "doc_chunks": q_doc_chunks,
+        "doc_decontam": q_doc_decontam,
+        "doc_packed": q_doc_packed,
         "doc_simhash": q_doc_simhash,
         "doc_simhash_near": q_doc_simhash_near,
         "doc_textstats": q_doc_textstats,
@@ -1769,6 +1862,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": _sql_doc_dup_clusters(),
         "doc_hash_split": _sql_doc_hash_split(),
         "doc_chunks": SQL_DOC_CHUNKS,
+        "doc_decontam": SQL_DOC_DECONTAM,
+        "doc_packed": SQL_DOC_PACKED,
         "doc_simhash": SQL_DOC_SIMHASH,
         "doc_simhash_near": SQL_DOC_SIMHASH_NEAR,
         "doc_textstats": SQL_DOC_TEXTSTATS,

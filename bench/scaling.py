@@ -86,6 +86,74 @@ print("RESULT " + json.dumps({{"cpus": cpus, "n_turns": n, "secs": secs,
 """
 
 
+CHILD_STRAGGLER = r"""
+import json, sys, time, urllib.request
+sys.path.insert(0, {repo!r})
+from transcriptpipe import pipeline, synth, schemas
+from transcriptpipe.session import get_spark
+
+cpus = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(app_name=f"straggler-{{cpus}}", cpus=cpus,
+                  extra_conf={{"spark.ui.enabled": "true"}})
+spark.sparkContext.setLogLevel("ERROR")
+def noop(df): df.write.format("noop").mode("overwrite").save()
+
+warm = spark.createDataFrame(synth.gen_transcripts(n_convs=2000, seed=1),
+                             schema=schemas.TRANSCRIPTS)
+noop(pipeline.build(spark, warm, pipeline.PipeConf(persist=False))["json_doc"])
+
+tdf = spark.read.parquet(path)
+noop(pipeline.rendered_frame(spark, tdf))  # untimed warmup
+t0 = time.monotonic()
+noop(pipeline.rendered_frame(spark, tdf))
+wall = time.monotonic() - t0
+
+# Spark status REST API (M5 evidence): find the measured run's dominant
+# stage (the post-exchange render stage carries ~all executor time) and
+# report its task-duration quantiles — max/median is the straggler ratio
+# the hot-conversation skew defense (narrow turn cap + PART_MULT conv_id
+# repartition) is supposed to bound.
+base = spark.sparkContext.uiWebUrl + "/api/v1"
+def get(p):
+    with urllib.request.urlopen(base + p, timeout=30) as r:
+        return json.loads(r.read())
+app = get("/applications")[0]["id"]
+stages = [s for s in get(f"/applications/{{app}}/stages?status=COMPLETE")]
+# stages of the LAST (timed) run only: take the highest-stageId half by
+# recency, then the one with the largest total executor run time
+stages.sort(key=lambda s: s["stageId"])
+timed = stages[len(stages) // 2:]
+dom = max(timed, key=lambda s: s.get("executorRunTime", 0))
+qs = get(f"/applications/{{app}}/stages/{{dom['stageId']}}/"
+         f"{{dom['attemptId']}}/taskSummary?quantiles=0.0,0.5,1.0")
+dur = qs["duration"]
+print("RESULT " + json.dumps({{
+    "cpus": cpus, "wall_sec": round(wall, 2),
+    "stage": {{"id": dom["stageId"], "name": dom["name"][:80],
+               "n_tasks": dom["numCompleteTasks"]}},
+    "task_ms_min": dur[0], "task_ms_median": dur[1], "task_ms_max": dur[2],
+    "straggler_ratio": round(dur[2] / max(dur[1], 1e-9), 2),
+}}))
+"""
+
+
+def run_straggler(cpus: int, path: str) -> dict:
+    script = CHILD_STRAGGLER.format(repo=str(REPO))
+    env = dict(os.environ)
+    env["SPARK_DRIVER_MEM"] = f"{max(6, cpus * 3 // 2)}g"
+    cmd = [sys.executable, "-c", script, str(cpus), path]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, cwd=str(REPO), env=env,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no straggler RESULT: {out.stdout[-2000:]} {out.stderr[-2000:]}")
+
+
 def run_level(cpus: int, path: str) -> dict:
     script = CHILD.format(repo=str(REPO))
     env = dict(os.environ)
@@ -135,6 +203,7 @@ def main() -> None:
                                 hot_frac=0.001, hot_turns=2000)
 
     raw = {c: run_level(c, path) for c in (2, 8, 32)}
+    strag = run_straggler(32, path)
     n_turns = raw[8]["n_turns"]
     levels = {c: _fmt(r) for c, r in raw.items()}
     eff_2_8 = (levels[8]["turns_per_sec"] / levels[2]["turns_per_sec"]) / 4
@@ -147,6 +216,7 @@ def main() -> None:
         "scaling_efficiency_8_to_32": round(eff_8_32, 3),
         "jvm_stage_efficiency_2_to_8": round(jeff_2_8, 3),
         "jvm_stage_efficiency_8_to_32": round(jeff_8_32, 3),
+        "straggler": strag,
     }
     print(json.dumps(summary))
 
@@ -247,6 +317,22 @@ JVM-stage efficiency and the full-pipeline efficiency at 8→32 is the
 Python-render/host-bandwidth share of the slowdown (32 single-socket
 workers contending for memory bandwidth), i.e. an environment ceiling a
 real 4N multi-node cluster does not have.
+
+## Hot-conversation straggler ratio (SURVEY M5 evidence)
+
+The corpus deliberately contains hot conversations (0.1% of convs at 2,000
+turns vs ~10 median) — the skew a salted/capped design must absorb. The
+defenses are the narrow per-conversation turn cap (`max_turns_per_conv`,
+applied BEFORE the shuffle) and the `PART_MULT`-widened `conv_id`
+repartition. Evidence, from the Spark status REST API's per-task summary
+of the dominant (render) stage of one timed local[32] run:
+
+| stage | tasks | task time min/median/max (ms) | max/median |
+|---|---|---|---|
+| {strag['stage']['name']} (id {strag['stage']['id']}) | {strag['stage']['n_tasks']} | {strag['task_ms_min']:.0f} / {strag['task_ms_median']:.0f} / {strag['task_ms_max']:.0f} | **{strag['straggler_ratio']:.2f}x** |
+
+Target < 2x: a ratio near 1 means no task — and therefore no executor on a
+real cluster — is pinned by a hot conversation while the rest idle.
 
 ## Engine comparison (measured 2026-08-16 round 3, 1.1M turns, local[32])
 

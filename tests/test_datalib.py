@@ -20,6 +20,52 @@ def embs(spark):
     return spark.read.parquet(f"{SF}/embeddings.parquet")
 
 
+# ---------------------------------------------------------- decontaminate --
+
+def test_decontaminate_exact_and_ngram(spark):
+    """Hand-built contamination: exact copy, half-overlap (containment
+    exactly at threshold), unrelated doc, and a bench doc whose only
+    shingle is boilerplate (df-capped) so its copy is caught by the exact
+    pass alone."""
+    bench = spark.createDataFrame(
+        [(100, "a1 a2 a3 a4 a5 a6"),   # 4 discriminative shingles
+         (101, "z z z"),               # single shingle, df=3 -> capped
+         (102, "z z z q"),
+         (103, "z z z r")],
+        "bench_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a1 a2 a3 a4 a5 a6"),     # exact dup of 100 (containment 1.0)
+         (2, "a1 a2 a3 a4 x y"),       # shares 2/4 shingles = 0.5
+         (3, "completely different text here"),
+         (4, "z z z")],                # exact dup of 101; shingle capped
+        "doc_id long, text string")
+    flags = dedup.decontaminate(corpus, bench, threshold=0.5,
+                                max_shingle_df=2).collect()
+    got = {(r["doc_id"], r["bench_id"]): (r["exact"], r["containment"])
+           for r in flags}
+    assert got == {
+        (1, 100): (True, 1.0),
+        (2, 100): (False, 0.5),
+        (4, 101): (True, None),  # bench 101 has no discriminative shingles
+    }
+    # the removal recipe drops every flagged doc and keeps the clean one
+    flagged = spark.createDataFrame(
+        [(d,) for d, _ in got], "doc_id long")
+    kept = corpus.join(flagged, "doc_id", "left_anti").collect()
+    assert [r["doc_id"] for r in kept] == [3]
+
+
+def test_decontaminate_threshold_excludes_below(spark):
+    """Containment strictly below threshold (after round-3) is not flagged."""
+    bench = spark.createDataFrame([(9, "b1 b2 b3 b4 b5 b6 b7")],
+                                  "bench_id long, text string")
+    # bench has 5 shingles; corpus shares exactly 2 -> 0.4 < 0.5
+    corpus = spark.createDataFrame([(1, "b1 b2 b3 b4 u v w")],
+                                   "doc_id long, text string")
+    assert dedup.decontaminate(corpus, bench, threshold=0.5).count() == 0
+    assert dedup.decontaminate(corpus, bench, threshold=0.4).count() == 1
+
+
 # ------------------------------------------------------------------ dedup --
 
 def test_exact_dedup_idempotent(spark, docs):

@@ -78,6 +78,41 @@ def test_chunk_text_reconstructs_tokens(docs):
     assert len(by_doc[5]) == 2 and len(by_doc[3]) == 1
 
 
+def test_pack_chunks_token_budget_and_reconstruction(spark):
+    """pack_chunks (concat-then-chunk sequence packing): every chunk except
+    possibly each bucket's last is exactly max_tokens tokens; re-joining a
+    bucket's chunks in chunk_idx order reconstructs the bucket's full
+    (hash, id)-ordered token stream; and assignment is deterministic."""
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(1 + (i * 17) % 50)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sample.pack_chunks(df, max_tokens=32, buckets=4).collect()
+    assert out  # non-degenerate
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= set(range(4))
+    total_tokens = 0
+    for bucket, chunks in by_bucket.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # token budget: all-but-last chunks are exactly full
+        for r in chunks[:-1]:
+            assert r["n_tokens"] == 32, (bucket, r["chunk_idx"])
+        assert 1 <= chunks[-1]["n_tokens"] <= 32
+        # contiguous windows, no overlap
+        assert [r["token_start"] for r in chunks] == [
+            i * 32 for i in range(len(chunks))]
+        total_tokens += sum(r["n_tokens"] for r in chunks)
+    # reconstruction: every input token lands in exactly one chunk
+    n_input_tokens = sum(len(t.split(" ")) for _, t in rows)
+    assert total_tokens == n_input_tokens
+    # determinism across invocations
+    again = sample.pack_chunks(df, max_tokens=32, buckets=4).collect()
+    key = lambda rs: sorted((r["bucket"], r["chunk_idx"], r["chunk_text"])
+                            for r in rs)
+    assert key(again) == key(out)
+
+
 def test_chunk_text_rejects_bad_overlap(docs):
     with pytest.raises(ValueError):
         sample.chunk_text(docs, max_tokens=8, overlap=8)

@@ -65,14 +65,14 @@ def main() -> None:
     p_sql = plan_of(jd_sql)
     out.append("## transcript pipeline (sql engine) -> json_doc\n```\n" + p_sql + "\n```\n")
     n_sql = shuffle_exchanges(p_sql)
-    # static plan: the fact repartition appears once per consumer (main agg
-    # + args branch — AQE reuses the materialized stage at runtime; A/B
-    # measured the shared-exchange design strictly faster than a separate
-    # filtered scan), plus the args branch's two small aggregations and the
-    # post-agg join = 5 static exchange nodes, exactly one of which carries
-    # the full fact table per materialization
-    checks.append(("sql engine: bounded exchanges (1 fact + args-branch aggs)",
-                   n_sql <= 5, f"shuffle Exchanges = {n_sql}"))
+    # round 5 (VERDICT r4 #1): the EXECVE args branch is now per-row array
+    # algebra collected in the MAIN aggregation (relational._arg_tokens /
+    # _attach_args) — no separate filtered re-scan of the fact table, no
+    # post-agg join.  The static plan has exactly TWO shuffle exchanges:
+    # the one conv_id fact repartition + the tiny broadcast-bound cap-stats
+    # pre-aggregate.  The fact table is scanned ONCE on the render path.
+    checks.append(("sql engine: ONE fact exchange (+ cap-stats pre-agg)",
+                   n_sql == 2, f"shuffle Exchanges = {n_sql}"))
     checks.append(("dict enrichment broadcasts", "BroadcastHashJoin" in p or "BroadcastExchange" in p,
                    "no broadcast found"))
 

@@ -314,6 +314,75 @@ def verified_near_dups(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# ---------------------------------------------------------- decontaminate --
+
+def decontaminate(corpus: DataFrame, bench: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_id_col: str = "bench_id", n: int = 3,
+                  threshold: float = 0.5,
+                  max_shingle_df: int = 1000) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs that overlap an
+    eval/benchmark doc set — the filter every serious training-data
+    pipeline runs before a model sees the corpus (else eval scores measure
+    memorized test sets).  A (corpus doc, bench doc) pair is flagged when
+
+    * the texts are EXACTLY equal (content-hash join), or
+    * word n-gram containment >= ``threshold``:
+      |corpus_shingles ∩ bench_shingles| / |bench_shingles|,
+      measured over the benchmark doc's DISCRIMINATIVE shingles (those
+      occurring in <= ``max_shingle_df`` benchmark docs; boilerplate
+      n-grams shared by more carry no contamination signal and would
+      explode the candidate join).
+
+    Returns one row per flagged pair: (doc_id, bench_id, exact boolean,
+    containment double|null).  Remove flagged docs with
+    ``corpus.join(flags, id_col, "left_anti")``.
+
+    Scale: candidates come from a shingle EQUI-join (never a theta/cross
+    join) — explode each side once, join on the shingle, count matches per
+    (doc, bench) pair with a map-side-combinable groupBy.  The per-shingle
+    fanout is bounded by ``max_shingle_df`` on the benchmark side, and the
+    benchmark set itself is small (eval suites are thousands of docs, not
+    billions), so the joined volume is ~|corpus shingle hits|."""
+    csh = corpus.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh")
+    )
+    bsh = bench.select(
+        F.col(bench_id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh")
+    )
+    dfreq = bsh.groupBy("sh").agg(F.count("*").alias("_df"))
+    bshc = bsh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh").drop("_df")
+    bsz = bshc.groupBy(bench_id_col).agg(F.count("*").alias("_n_sh"))
+
+    ov = (
+        csh.join(bshc, "sh")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("_overlap"))
+    )
+    containment = F.round(
+        F.col("_overlap").cast("double") / F.col("_n_sh"), 3)
+    ng = (
+        ov.join(bsz, bench_id_col)
+        .select(id_col, bench_id_col, containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+    ex = (
+        corpus.select(F.col(id_col), F.md5(text_col).alias("_h"))
+        .join(bench.select(F.col(bench_id_col), F.md5(text_col).alias("_h")),
+              "_h")
+        .select(id_col, bench_id_col, F.lit(True).alias("exact"))
+    )
+    return (
+        ng.join(ex, [id_col, bench_id_col], "full")
+        .select(
+            id_col, bench_id_col,
+            F.coalesce("exact", F.lit(False)).alias("exact"),
+            "containment",
+        )
+    )
+
+
 # ------------------------------------------------- embedding cosine dedup --
 
 def _hyperplane_sig(v: Column, hp: list) -> Column:

@@ -56,6 +56,45 @@ def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
     )
 
 
+def pack_chunks(df: DataFrame, max_tokens: int, buckets: int = 64,
+                id_col: str = "doc_id", text_col: str = "text",
+                salt: str = "pack-v1") -> DataFrame:
+    """Sequence packing via concat-then-chunk: fill fixed context windows
+    with document text so training batches waste no pad tokens.
+
+    Greedy bin-packing needs per-bucket sequential state (and has no clean
+    SQL mirror); this formulation is fully relational and deterministic:
+
+    1. assign each doc to one of ``buckets`` pack buckets by key hash
+       (same md5 coin as hash_split — retry-stable, cluster-size
+       independent),
+    2. concatenate each bucket's texts in (hash, id) order with a single
+       space (token sequence = concatenation of token sequences),
+    3. chunk each bucket's concatenation into ``max_tokens`` windows
+       (chunk_text with overlap 0).
+
+    Output: (bucket, chunk_idx, chunk_text, n_tokens, token_start).  Every
+    chunk except possibly each bucket's last is exactly ``max_tokens``
+    tokens — the pad waste is <= (buckets * (max_tokens-1)) tokens total,
+    amortized to ~0 as buckets' contents grow.
+
+    Scale: ONE shuffle (the bucket groupBy).  Size ``buckets`` so a
+    bucket's concatenation stays executor-resident (e.g. corpus_tokens /
+    ~64M tokens per bucket); the shuffle carries each text once."""
+    h = _hash_u32(F.col(id_col), salt)
+    packed = (
+        df.select((h % buckets).cast("int").alias("bucket"),
+                  F.struct(h.alias("h"),
+                           F.col(id_col).alias("id"),
+                           F.col(text_col).alias("t")).alias("e"))
+        .groupBy("bucket")
+        .agg(F.array_join(F.array_sort(F.collect_list("e")).getField("t"),
+                          " ").alias("text"))
+    )
+    return chunk_text(packed, max_tokens=max_tokens, overlap=0,
+                      id_col="bucket", text_col="text")
+
+
 def chunk_text(df: DataFrame, max_tokens: int, overlap: int = 0,
                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Split documents into context-window chunks of at most ``max_tokens``

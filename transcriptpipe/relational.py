@@ -139,103 +139,153 @@ def _xml_wrap_each(arr: Column, tag: str) -> Column:
     )
 
 
-def _args_branch(parsed: DataFrame) -> DataFrame:
-    """EXECVE reassembly (A5) as pure relational operators. Returns one row
-    per conversation that carried any argc/aN token: (conv_id, execve_err,
-    args_vals array|null, args_json string|null).
+def _arg_tokens() -> Column:
+    """Per-TURN argc/aN token extraction (A5 input), as a NARROW per-row
+    filter over the turn's already-built ``fields`` map.
 
-    Call with the POST-repartition parsed frame: the branch consumes the
-    same conv_id exchange as the main aggregation (measured strictly faster
-    than re-scanning a pre-shuffle filtered subset — A/B at 1.1M turns:
-    6.4-7.3s vs 7.6-11.9s), and its per-turn LAST-WIN window plus both
-    aggregations need no further fact-table exchange (hash(conv_id)
-    clusters every downstream grouping key set)."""
-    tc = parsed.filter(
-        (F.col("role_name") == "tool_call") & (F.size("keys") > 0)
-    ).select(
-        "conv_id", "turn_idx",
-        F.posexplode(F.arrays_zip("keys", "vals")).alias("pos", "e"),
-    ).select(
-        "conv_id", "turn_idx", "pos",
-        F.col("e.keys").alias("k"), F.col("e.vals").alias("v"),
-    ).filter(F.col("k").rlike(_ARG_KEY_RE))
-
-    # per-turn LAST-WIN (the parse stage's map semantics): keep the last
-    # occurrence of each key within a turn
-    w_lw = Window.partitionBy("conv_id", "turn_idx", "k").orderBy(F.desc("pos"))
-    lw = tc.withColumn("_rn", F.row_number().over(w_lw)).filter(F.col("_rn") == 1)
-
-    argc = (
-        lw.filter(F.col("k") == "argc")
-        .groupBy("conv_id")
-        .agg(F.max(strict_int(F.col("v"))).alias("argc_decl"))
+    Round 5 (VERDICT r4 #1): the old ``_args_branch`` re-derived these with
+    posexplode + a (conv_id, turn_idx, k) row_number window off a second
+    read of the parsed frame; Catalyst pushed the tool_call filter below
+    the repartition, physically re-scanning the fact table twice (PLANS.md
+    r4 operators (32)/(59)) — ~3x the `text` column reads at 100 TB.  The
+    last-win window partitioned by (conv_id, turn_idx, k), i.e. it never
+    crossed a row — and the per-turn ``fields`` map ALREADY applies that
+    exact last-occurrence-wins dedup (map_from_arrays under the session's
+    LAST_WIN dedup policy, which parse.parse_turns depends on), so the
+    per-row work here is a single key-pattern filter; classification moves
+    to the per-conversation stage (_attach_args), which touches only the
+    rare rows that carry arg tokens.  (A first cut classified per row with
+    a nested exists() dedup — measured +37% on the whole sql engine; HOF
+    lambdas evaluate interpreted, so per-row lambda work is the thing to
+    minimize.)"""
+    return F.when(
+        (F.col("role_name") == "tool_call") & (F.size("keys") > 0),
+        F.filter(F.map_entries("fields"),
+                 lambda e: e["key"].rlike(_ARG_KEY_RE)),
     )
 
-    aent = lw.filter(F.col("k") != "argc").select(
-        "conv_id",
-        F.regexp_extract("k", r"^a(\d+)", 1).try_cast("int").alias("idx"),
-        F.when(F.col("k").rlike(r"^a\d+_len$"), F.lit("len"))
-        .when(F.col("k").rlike(r"^a\d+\[\d+\]$"), F.lit("slice"))
-        .otherwise(F.lit("whole")).alias("kind"),
-        F.regexp_extract("k", r"\[(\d+)\]$", 1).try_cast("int").alias("si"),
-        "v",
+
+def _attach_args(main: DataFrame) -> DataFrame:
+    """EXECVE reassembly (A5) over the per-conv collected arg tokens
+    (column ``_argts`` from the MAIN aggregation — no extra scan, no join).
+    Adds (execve_err, args_vals, args_json); all three null for
+    conversations that carried no argc/aN token, matching the old
+    branch-join's left-null semantics.
+
+    Same validation semantics as before, re-expressed as array algebra over
+    the (small, per-conversation) token set: per-arg stats via filtered
+    transforms, hex slice reassembly + make_valid_utf8 decode (same U+FFFD
+    replacement as the Python engines' bytes.decode(errors="replace")),
+    solidity + argc cross-checks (ref lib/execve_coll.c:180-420).
+
+    EVALUATE-ONCE DISCIPLINE (the round-5 lesson, measured 2x on the whole
+    engine): Catalyst freely substitutes projection aliases into consumers,
+    and the doc/trim/norm assembly downstream references the args outputs
+    ~20 times — a plain withColumn here ballooned the physical plan to
+    130KB with the flatten/decode subtree inlined ~30x per row.  Two
+    guards: (1) every intermediate (classified tokens, idx set, per-arg
+    verdicts) is let-bound via the single-element-array transform idiom
+    (``transform(array(x), λ)``), so it evaluates exactly once inside one
+    struct construction; (2) the finished struct is emitted through an
+    ``explode`` Generate boundary — generator outputs are runtime
+    attributes Catalyst cannot inline, so every downstream reference is a
+    cheap field access."""
+
+    def let(val: Column, f) -> Column:
+        return F.element_at(F.transform(F.array(val), f), 1)
+
+    classified = F.transform(
+        F.flatten(F.col("_argts")["_argtoks"]),
+        lambda x: F.struct(
+            F.regexp_extract(x["key"], r"^a(\d+)", 1).try_cast("int")
+            .alias("idx"),
+            F.when(x["key"] == "argc", F.lit("argc"))
+            .when(x["key"].rlike(r"^a\d+_len$"), F.lit("len"))
+            .when(x["key"].rlike(r"^a\d+\[\d+\]$"), F.lit("slice"))
+            .otherwise(F.lit("whole")).alias("kind"),
+            F.regexp_extract(x["key"], r"\[(\d+)\]$", 1).try_cast("int")
+            .alias("si"),
+            F.element_at(x["value"], 1).alias("v"),
+        ),
     )
-    per_arg = aent.groupBy("conv_id", "idx").agg(
-        F.sum(F.when(F.col("kind") == "whole", 1).otherwise(0)).alias("n_w"),
-        F.max(F.when(F.col("kind") == "whole", F.col("v"))).alias("wv"),
-        F.max(F.when(F.col("kind") == "len", strict_int(F.col("v")))).alias("decl"),
-        F.sum(F.when(F.col("kind") == "slice", 1).otherwise(0)).alias("n_sl"),
-        F.array_sort(
-            F.collect_list(F.when(F.col("kind") == "slice", F.struct("si", "v")))
-        ).alias("sls"),
-    )
-    sidx = F.col("sls")["si"]
-    hexcat = F.array_join(F.col("sls")["v"], "")
-    # make_valid_utf8: same U+FFFD replacement as the Python engines'
-    # bytes.decode(errors="replace") — see parse._decode_hex (ADVICE r3)
-    decoded = F.when(
-        F.length(hexcat) % 2 == 0,
-        F.make_valid_utf8(F.unhex(hexcat).cast("string")),
-    )
-    solid_sl = (
-        (F.array_min(sidx) == 0)
-        & (F.array_max(sidx) == F.col("n_sl") - 1)
-        & (F.size(F.array_distinct(sidx)) == F.col("n_sl"))
-    )
-    whole_ok = (F.col("n_w") == 1) & (F.col("n_sl") == 0) & F.col("decl").isNull()
-    slice_ok = (
-        (F.col("n_w") == 0) & (F.col("n_sl") > 0) & solid_sl
-        & decoded.isNotNull()
-        & (F.col("decl").isNull() | (F.octet_length(decoded) == F.col("decl")))
-    )
-    judged = per_arg.select(
-        "conv_id", "idx",
-        F.when(F.col("n_w") == 1, F.col("wv"))
-        .when(F.col("n_sl") > 0, decoded).alias("val"),
-        (~(whole_ok | slice_ok)).alias("bad"),
-    )
-    per_conv = judged.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list(F.struct("idx", "val"))).alias("avs"),
-        F.count("*").alias("n_args"),
-        F.min("idx").alias("idx_min"),
-        F.max("idx").alias("idx_max"),
-        F.max("bad").alias("any_bad"),
-    )
-    both = per_conv.join(argc, "conv_id", "full")
-    n_args = F.coalesce(F.col("n_args"), F.lit(0))
-    solid = (n_args == 0) | (
-        (F.col("idx_min") == 0) & (F.col("idx_max") == n_args - 1)
-    )
-    argc_ok = F.col("argc_decl").isNull() | (F.col("argc_decl") == n_args)
-    valid = solid & ~F.coalesce(F.col("any_bad"), F.lit(False)) & argc_ok
-    args_vals = F.when(valid, F.coalesce(F.col("avs")["val"],
-                                         F.array().cast("array<string>")))
-    return both.select(
-        "conv_id",
-        F.when(~valid, F.lit(schemas.ERR_INVALID_EXECVE)).alias("execve_err"),
-        args_vals.alias("args_vals"),
-        _bare_json(args_vals).alias("args_json"),
-    )
+
+    def per_idx(E: Column):
+        def f(i: Column) -> Column:
+            def of_kind(kind: str) -> Column:
+                return F.filter(
+                    E, lambda e: (e["idx"] == i) & (e["kind"] == kind))
+
+            wl = of_kind("whole")
+            n_w = F.size(wl)
+            wv = F.array_max(F.transform(wl, lambda e: e["v"]))
+            decl = F.array_max(
+                F.transform(of_kind("len"), lambda e: strict_int(e["v"])))
+            sls = F.array_sort(
+                F.transform(of_kind("slice"),
+                            lambda e: F.struct(e["si"].alias("si"),
+                                               e["v"].alias("v"))))
+            n_sl = F.size(sls)
+            sidx = sls.getField("si")
+            hexcat = F.array_join(sls.getField("v"), "")
+            decoded = F.when(
+                F.length(hexcat) % 2 == 0,
+                F.make_valid_utf8(F.unhex(hexcat).cast("string")),
+            )
+            solid_sl = (
+                (F.array_min(sidx) == 0)
+                & (F.array_max(sidx) == n_sl - 1)
+                & (F.size(F.array_distinct(sidx)) == n_sl)
+            )
+            whole_ok = (n_w == 1) & (n_sl == 0) & decl.isNull()
+            slice_ok = (
+                (n_w == 0) & (n_sl > 0) & solid_sl
+                & decoded.isNotNull()
+                & (decl.isNull() | (F.octet_length(decoded) == decl))
+            )
+            return F.struct(
+                i.alias("idx"),
+                F.when(n_w == 1, wv).when(n_sl > 0, decoded).alias("val"),
+                (~(whole_ok | slice_ok)).alias("bad"),
+            )
+
+        return f
+
+    def verdict(E: Column, idxs: Column, judged: Column) -> Column:
+        argc_decl = F.array_max(
+            F.transform(F.filter(E, lambda e: e["kind"] == "argc"),
+                        lambda e: strict_int(e["v"]))
+        )
+        n_args = F.size(idxs)
+        solid = (n_args == 0) | (
+            (F.array_min(idxs) == 0) & (F.array_max(idxs) == n_args - 1)
+        )
+        argc_ok = argc_decl.isNull() | (argc_decl == n_args)
+        any_bad = F.exists(judged, lambda j: j["bad"])
+        valid = solid & ~F.coalesce(any_bad, F.lit(False)) & argc_ok
+        has_args = F.size(E) > 0
+        args_vals = F.when(has_args & valid,
+                           F.array_sort(judged).getField("val"))
+        return F.struct(
+            F.when(has_args & ~valid,
+                   F.lit(schemas.ERR_INVALID_EXECVE)).alias("execve_err"),
+            args_vals.alias("args_vals"),
+            _bare_json(args_vals).alias("args_json"),
+        )
+
+    args_struct = let(classified, lambda E: let(
+        F.array_distinct(
+            F.transform(F.filter(E, lambda e: e["kind"] != "argc"),
+                        lambda e: e["idx"])),
+        lambda idxs: let(F.transform(idxs, per_idx(E)),
+                         lambda judged: verdict(E, idxs, judged)),
+    ))
+
+    main = main.select("*", F.explode(F.array(args_struct)).alias("_args"))
+    return main.withColumns({
+        "execve_err": F.col("_args")["execve_err"],
+        "args_vals": F.col("_args")["args_vals"],
+        "args_json": F.col("_args")["args_json"],
+    }).drop("_argts")
 
 
 def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192,
@@ -288,11 +338,20 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
     )
     p = p.withColumn("_rnu", F.row_number().over(w_uniq))
     p = p.withColumn("_cum", F.sum(line_cost).over(w_cum))
+    p = p.withColumn("_argtoks", _arg_tokens())
     catch_member = _json_obj_member(F.lower(role), F.col("_frag"))
 
+    # round 5 (VERDICT r4 #2/#6): with --lang xml the JSON and XML fragments
+    # ride ONE collect per role — struct(turn_idx, _frag, _xfrag) — instead
+    # of parallel aggregates, halving the ObjectHashAggregate buffer count
+    # and collect payload bookkeeping.  Ordering is unchanged: array_sort
+    # compares turn_idx first, and (conv_id, turn_idx) uniqueness is a
+    # checked contract (pipeline.check_unique_turns), so the extra struct
+    # field never participates in the comparison.
     def rep_agg(r: str):
+        fields = ["turn_idx", "_frag"] + (["_xfrag"] if want_xml else [])
         return F.array_sort(
-            F.collect_list(F.when(role == r, F.struct("turn_idx", "_frag")))
+            F.collect_list(F.when(role == r, F.struct(*fields)))
         ).alias(f"_{r}_frags")
 
     aggs = [
@@ -318,7 +377,9 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         F.min(F.when(F.col("_ukey").isNotNull() & (F.col("_rnu") >= 2),
                      F.col("turn_idx"))).alias("_rep_turn"),
         F.sum(F.when(role == "system", 1).otherwise(0)).alias("_sys_cnt"),
-        F.min(F.when(role == "system", F.struct("turn_idx", "_frag"))).alias("_sys"),
+        F.min(F.when(role == "system", F.struct(
+            *(["turn_idx", "_frag"] + (["_xfrag"] if want_xml else []))
+        ))).alias("_sys"),
         *[rep_agg(r) for r in _REP_ROLES],
         F.array_sort(F.collect_list(F.when(
             role == _SLOT_ROLE,
@@ -327,6 +388,7 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
                 F.coalesce("item_idx", F.lit(0)).alias("it"),
                 F.col("turn_idx").alias("turn_idx"),
                 F.col("_frag").alias("_frag"),
+                *([F.col("_xfrag").alias("_xfrag")] if want_xml else []),
             ),
         ))).alias("_slot_frags"),
         F.collect_list(F.when(role == _SLOT_ROLE, F.col("item_idx"))).alias("_items"),
@@ -336,43 +398,22 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         ))).alias("_tools_s"),
         F.array_sort(F.collect_list(F.when(
             is_catch & (F.col("_rnu") == 1) & ~F.lower(role).isin(_RESERVED),
-            F.struct(F.col("turn_idx").alias("turn_idx"),
-                     catch_member.alias("m")),
+            F.struct(
+                F.col("turn_idx").alias("turn_idx"),
+                catch_member.alias("m"),
+                # raw lowercased role as the element tag, escaped field
+                # body — exactly render.xml_from_doc's catch-all branch
+                *([F.concat(F.lit("<"), F.lower(role), F.lit(">"),
+                            F.col("_xfrag"),
+                            F.lit("</"), F.lower(role), F.lit(">")).alias("xm")]
+                  if want_xml else []),
+            ),
         ))).alias("_catch_s"),
+        F.array_sort(F.collect_list(F.when(
+            F.col("_argtoks").isNotNull() & (F.size("_argtoks") > 0),
+            F.struct("turn_idx", "_argtoks"),
+        ))).alias("_argts"),
     ]
-    if want_xml:
-        # parallel XML-fragment aggregates, same selection/sort keys as the
-        # JSON ones (identical under the (conv_id, turn_idx) key contract)
-        aggs += [
-            F.min(F.when(role == "system",
-                         F.struct("turn_idx", "_xfrag"))).alias("_sys_x"),
-            *[
-                F.array_sort(F.collect_list(F.when(
-                    role == r, F.struct("turn_idx", "_xfrag")
-                ))).alias(f"_{r}_xfrags")
-                for r in _REP_ROLES
-            ],
-            F.array_sort(F.collect_list(F.when(
-                role == _SLOT_ROLE,
-                F.struct(
-                    F.col("item_idx").isNull().cast("int").alias("nl"),
-                    F.coalesce("item_idx", F.lit(0)).alias("it"),
-                    F.col("turn_idx").alias("turn_idx"),
-                    F.col("_xfrag").alias("_xfrag"),
-                ),
-            ))).alias("_slot_xfrags"),
-            F.array_sort(F.collect_list(F.when(
-                is_catch & (F.col("_rnu") == 1) & ~F.lower(role).isin(_RESERVED),
-                F.struct(
-                    F.col("turn_idx").alias("turn_idx"),
-                    # raw lowercased role as the element tag, escaped field
-                    # body — exactly render.xml_from_doc's catch-all branch
-                    F.concat(F.lit("<"), F.lower(role), F.lit(">"),
-                             F.col("_xfrag"),
-                             F.lit("</"), F.lower(role), F.lit(">")).alias("xm"),
-                ),
-            ))).alias("_catch_x"),
-        ]
     if has_cap:
         aggs.append(F.max(F.coalesce("turn_capped", F.lit(False))).alias("_pre_trim"))
     if with_norm:
@@ -396,7 +437,7 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         ]
 
     main = p.groupBy("conv_id").agg(*aggs)
-    main = main.join(_args_branch(p), "conv_id", "left")
+    main = _attach_args(main)
 
     # ---- end-of-event validation (error precedence = add-time by earliest
     # turn, EXECVE, PATH — mirrors oracle/assemble_docs)
@@ -568,13 +609,13 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         def xdata_body() -> Column:
             members = [
                 F.when(F.col("_sys_cnt") == 1,
-                       F.concat(F.lit("<system>"), F.col("_sys_x")["_xfrag"],
+                       F.concat(F.lit("<system>"), F.col("_sys")["_xfrag"],
                                 F.lit("</system>"))),
             ]
             for r in _REP_ROLES:
-                fr = F.col(f"_{r}_xfrags")["_xfrag"]
+                fr = F.col(f"_{r}_frags")["_xfrag"]
                 members.append(F.when(F.size(fr) > 0, _xml_wrap_each(fr, r)))
-            sfr = F.col("_slot_xfrags")["_xfrag"]
+            sfr = F.col("_slot_frags")["_xfrag"]
             members.append(
                 F.when(F.size(sfr) > 0, _xml_wrap_each(sfr, _SLOT_ROLE))
             )
@@ -592,7 +633,7 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
                                     F.transform("_tools", _xml_esc), "t"),
                                 F.lit("</tools>")))
             )
-            cm = F.col("_catch_x")["xm"]
+            cm = F.col("_catch_s")["xm"]
             members.append(F.when(F.size(cm) > 0, F.array_join(cm, "")))
             return F.concat_ws("", *members)
 

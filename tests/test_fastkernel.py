@@ -151,14 +151,30 @@ def test_fastkernel_matches_oracle(cfg, capped):
         for k in want:
             assert got[k] == want[k], (conv_id, k, want[k], got[k])
         # pre-escaped line fragments must not change a byte
-        frags = fastkernel.xml_lines_vectorized(
-            pd.Series([r[2] for r in rows], dtype=object))
+        texts = pd.Series([r[2] for r in rows], dtype=object)
+        frags = fastkernel.xml_lines_vectorized(texts)
         got2 = fastkernel.render_conv(conv_id, tup, min_ts, capped,
                                       cfg["max_doc_bytes"], 100,
                                       cfg["with_text"], cfg["with_norm"],
-                                      xml_line_frags=frags)
+                                      xml_line_frags=frags,
+                                      json_line_frags=
+                                      fastkernel.json_lines_vectorized(texts))
         assert got2 == got, conv_id
     assert n_docs > 50  # the corpus is non-trivial
+
+
+def test_json_lines_vectorized_byte_equal():
+    """The Arrow-kernel JSON line escaper is byte-equal to json_str on the
+    full escape surface (quotes, backslashes, every control char, unicode,
+    nulls) — round 5."""
+    cases = ['plain', 'with "quote"', 'back\\slash', 'mix "\\" q',
+             'ctrl\nline\tx', '\x00\x1f\x08\x0c\r', '', 'unicode é ☃',
+             'msg="a b" seq=1', None, '"', '\\', '\\"', 'end\\']
+    cases += [f"c{i}\x01" for i in range(3)] + [chr(c) for c in range(0x20)]
+    got = fastkernel.json_lines_vectorized(pd.Series(cases, dtype=object))
+    want = [fastkernel.json_str(t) if t is not None else "null"
+            for t in cases]
+    assert got == want
 
 
 def test_want_xml_false_skips_xml():

@@ -224,15 +224,16 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
         carry: list[tuple] | None = None  # [(turn_idx, role, text, tool, tool_name)]
         carry_min_us: int | None = None
         carry_frags: list | None = None
+        carry_jl: list | None = None
         carry_capped = False
         out: list[dict] = []
 
-        def flush(key: str, rows: list[tuple], min_us: int, frags,
+        def flush(key: str, rows: list[tuple], min_us: int, frags, jl,
                   capped: bool) -> None:
             rec = render_conv(key, rows, pd.Timestamp(min_us, unit="us"),
                               capped, max_doc_bytes, events_per_doc,
                               with_text, with_norm, xml_line_frags=frags,
-                              want_xml=want_xml)
+                              json_line_frags=jl, want_xml=want_xml)
             if rec is not None:
                 out.append(rec)
 
@@ -262,6 +263,11 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
             ))
             frags_all = (fastkernel.xml_lines_vectorized(pdf["text"])
                          if want_xml else None)
+            # vectorized JSON line literals (round 5); when text is globally
+            # off, the rare errored conversations fall back to the scalar
+            # escaper inside render_conv instead of paying a batch pass
+            jlines_all = (fastkernel.json_lines_vectorized(pdf["text"])
+                          if with_text else None)
             caps = pdf["turn_capped"].tolist() if has_cap else None
             # vectorized group boundaries + per-group min(ts): ONE numpy pass
             # instead of materializing 10^5 pd.Timestamp objects per batch
@@ -276,29 +282,33 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
                 key = ids[i]
                 rows = data[i:j]
                 row_frags = frags_all[i:j] if frags_all is not None else None
+                row_jl = jlines_all[i:j] if jlines_all is not None else None
                 min_us = int(mins[g])
                 kc = key in capped_ids or bool(caps and caps[i] is not None and caps[i])
                 if carry_key is not None and key == carry_key:
                     rows = carry + rows
                     if row_frags is not None:
                         row_frags = carry_frags + row_frags
+                    if row_jl is not None:
+                        row_jl = carry_jl + row_jl
                     min_us = min(min_us, carry_min_us)
                     kc = kc or carry_capped
                 elif carry_key is not None:
                     flush(carry_key, carry, carry_min_us, carry_frags,
-                          carry_capped)
+                          carry_jl, carry_capped)
                 if j == n:  # group may continue in the next batch
-                    carry_key, carry, carry_min_us, carry_frags, carry_capped = (
-                        key, rows, min_us, row_frags, kc)
+                    (carry_key, carry, carry_min_us, carry_frags, carry_jl,
+                     carry_capped) = (key, rows, min_us, row_frags, row_jl, kc)
                 else:
-                    flush(key, rows, min_us, row_frags, kc)
-                    carry_key, carry, carry_min_us, carry_frags, carry_capped = (
-                        None, None, None, None, False)
+                    flush(key, rows, min_us, row_frags, row_jl, kc)
+                    (carry_key, carry, carry_min_us, carry_frags, carry_jl,
+                     carry_capped) = (None, None, None, None, None, False)
             if len(out) >= 256:
                 yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
                 out = []
         if carry_key is not None:
-            flush(carry_key, carry, carry_min_us, carry_frags, carry_capped)
+            flush(carry_key, carry, carry_min_us, carry_frags, carry_jl,
+                  carry_capped)
         if out:
             yield pd.DataFrame(out, columns=[f.name for f in DOC_SCHEMA.fields])
 

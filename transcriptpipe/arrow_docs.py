@@ -61,6 +61,12 @@ _SERIAL_RE = re.compile(r"(\d+)$")
 # straggler wave (tuned empirically — see BENCH/BASELINE.md)
 PART_MULT = 4
 
+# opt-in vectorized JSON text-line escaping (see the note at the call
+# site); read once at import so executors see a consistent setting
+import os as _os
+
+_VEC_JLINES = _os.environ.get("SPARK_GRAFT_VEC_JLINES", "") == "1"
+
 
 def _fields_dict(fields) -> dict:
     """Arrow map -> ordered dict of key -> [interpreted, raw?]."""
@@ -263,11 +269,16 @@ def render_docs_sorted(enriched: DataFrame, max_doc_bytes: int | None = 8192,
             ))
             frags_all = (fastkernel.xml_lines_vectorized(pdf["text"])
                          if want_xml else None)
-            # vectorized JSON line literals (round 5); when text is globally
-            # off, the rare errored conversations fall back to the scalar
-            # escaper inside render_conv instead of paying a batch pass
+            # vectorized JSON line literals (round 5) — OPT-IN: the Arrow
+            # replace passes are a measured ~10% kernel win per core and
+            # win end-to-end up to ~8 concurrent workers, but their extra
+            # pandas->Arrow->list conversions are pure memory traffic that
+            # LOSES at 32 workers on the sandbox's bandwidth-starved shared
+            # host (alternating fresh-JVM A/B; see COVERAGE.md round 5).
+            # On a real cluster (few cores per executor, per-node
+            # bandwidth) set SPARK_GRAFT_VEC_JLINES=1.
             jlines_all = (fastkernel.json_lines_vectorized(pdf["text"])
-                          if with_text else None)
+                          if (with_text and _VEC_JLINES) else None)
             caps = pdf["turn_capped"].tolist() if has_cap else None
             # vectorized group boundaries + per-group min(ts): ONE numpy pass
             # instead of materializing 10^5 pd.Timestamp objects per batch

@@ -334,15 +334,13 @@ of the dominant (render) stage of one timed local[32] run:
 Target < 2x: a ratio near 1 means no task — and therefore no executor on a
 real cluster — is pinned by a hot conversation while the rest idle.
 
-## Engine comparison (measured 2026-08-16 round 3, 1.1M turns, local[32])
-
-Rendered frame (JSON+XML+errors), noop writer, warm JVM:
+## Engine comparison (1.1M turns, local[32], staged build + 3 noop sinks)
 
 | engine | runs (sec) | notes |
 |---|---|---|
-| arrow (default, fused kernel) | 4.4, 3.3, 3.1 | sorted-stream shuffle + ONE fused pass (tokenize→collect→validate→render JSON+XML in a single loop; per-batch vectorized XML text escaping). Round 2 measured 7.5, 5.4 on the same input — kernel-level speedup is 2.2-2.8x (tools/profile_render.py, 31.2k → 68-87k turns/sec/core); the 32-core stage gain is smaller because the host memory-bandwidth ceiling, scan and shuffle take a growing share |
-| arrow, --lang json (XML skipped) | 3.1, 2.9 | the kernel skips XML assembly entirely when the language is deselected |
-| expr (all-JVM)  | 66.0 | Catalyst higher-order-function lambdas run in the interpreted evaluator (no codegen for HOFs) — kept as the semantics/verification path, byte-equal to arrow by test |
+| arrow (default, fused kernel) | 4.4, 3.3, 3.1 (r3 window); 3.6, 4.1, 4.7 (r5 interleaved A/B, noisier window) | sorted-stream shuffle + ONE fused pass (tokenize→collect→validate→render JSON+XML in a single loop; per-batch vectorized XML text escaping; opt-in Arrow-vectorized JSON lines via SPARK_GRAFT_VEC_JLINES on real clusters — wins at <=8-wide, loses to this host's 32-wide bandwidth ceiling) |
+| sql (all-JVM relational) | 9.4, 9.5, 10.1 (r5 interleaved A/B; r4 code measured 11.0-12.1 in the same session) | round 5: ONE fact-table scan — EXECVE args collected in the main aggregation, validated per conversation behind an explode Generate boundary; fused JSON+XML collect_lists. ~2.2x arrow with both languages; zero Python workers |
+| expr (all-JVM, test-only)  | 66.0 (r2) | Catalyst higher-order-function lambdas run in the interpreted evaluator — kept as the semantics/verification path, byte-equal to arrow by test |
 
 ## Reference comparison
 

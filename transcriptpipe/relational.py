@@ -360,8 +360,11 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         F.sum(F.when(F.size("keys") > 0, 1).otherwise(0)).alias("n_records"),
         F.sum(F.octet_length("text")).alias("text_bytes"),
         F.sum("vals_bytes").alias("fields_bytes"),
-        F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_texts_s"),
-        F.array_sort(F.collect_list(F.struct("turn_idx", "_cum"))).alias("_cums_s"),
+        # texts and the cumsum budget ride ONE collect (same fusion as the
+        # frag/xfrag structs): one aggregation buffer, one sort; ordering
+        # decided by turn_idx alone under the checked PK
+        F.array_sort(F.collect_list(
+            F.struct("turn_idx", "text", "_cum"))).alias("_texts_s"),
         F.array_sort(F.collect_list(F.when(
             F.col("row_error").isNotNull(),
             F.struct(
@@ -470,7 +473,7 @@ def render_docs_relational(enriched: DataFrame, max_doc_bytes: int | None = 8192
         .withColumn("serial", serial)
         .withColumn("time", time_col)
         .withColumn("_texts", texts_arr)
-        .withColumn("_cum", F.col("_cums_s")["_cum"])
+        .withColumn("_cum", F.col("_texts_s")["_cum"])
         .withColumn("_tools", tools)
     )
 

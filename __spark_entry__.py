@@ -1196,6 +1196,43 @@ LEFT JOIN (SELECT u, min(v) AS mn FROM reach GROUP BY u) m
 """)
 
 
+def q_emb_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination (datalib.dedup.embedding_decontaminate):
+    corpus vectors within cosine >= 0.25 of any benchmark vector, via the
+    shared hyperplane-LSH bucket equi-join (no cross join). The benchmark
+    is a deterministic 20% md5-coin sample of embeddings (salt
+    "embench-v1") — the embedding-space sibling of doc_decontam."""
+    from transcriptpipe.datalib import dedup, sample
+
+    e = _t(spark, sf_dir, "embeddings")
+    coin = sample._hash_u32(F.col("vec_id"), "embench-v1")
+    bench = e.filter(coin < _BENCH_COIN_THR).select(
+        F.col("vec_id").alias("bench_id"), "embedding")
+    corpus = e.filter(coin >= _BENCH_COIN_THR)
+    return dedup.embedding_decontaminate(corpus, bench, threshold=0.25,
+                                         planes=8, seed=42)
+
+
+def _sql_emb_decontam(planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    bucket = _hyperplane_sql(planes, dim, seed)
+    cos = (f"round(list_sum(list_transform(range(1, {dim + 1}), "
+           "i -> c.ve[i] * b.bve[i])) "
+           "/ (sqrt(list_sum(list_transform(c.ve, x -> x * x))) "
+           "* sqrt(list_sum(list_transform(b.bve, x -> x * x)))), 4)")
+    return f"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ve,
+        try_cast('0x' || substr(md5('embench-v1' || CAST(vec_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) AS h
+        FROM embeddings),
+bk AS (SELECT vec_id, ve, h, {bucket} AS bucket FROM e0),
+c AS (SELECT vec_id, ve, bucket FROM bk WHERE h >= {_BENCH_COIN_THR}),
+b AS (SELECT vec_id AS bench_id, ve AS bve, bucket FROM bk WHERE h < {_BENCH_COIN_THR})
+SELECT c.vec_id, b.bench_id, {cos} AS cos_sim
+FROM c JOIN b USING (bucket)
+WHERE {cos} >= 0.25
+"""
+
+
 def q_emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding norm statistics (vector math via aggregate())."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1827,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_cells": q_emb_ivf_cells,
         "emb_near_dups": q_emb_near_dups,
         "emb_dup_clusters": q_emb_dup_clusters,
+        "emb_decontam": q_emb_decontam,
         "emb_norm_stats": q_emb_norm_stats,
         "transcript_docs": q_transcript_docs,
         "transcript_errors": q_transcript_errors,
@@ -1875,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_cells": _sql_emb_ivf_cells(),
         "emb_near_dups": _sql_emb_near_dups(),
         "emb_dup_clusters": _sql_emb_dup_clusters(),
+        "emb_decontam": _sql_emb_decontam(),
         "emb_norm_stats": SQL_EMB_NORM_STATS,
         # the full pipeline is oracle-checked against a DuckDB mirror of the
         # classification AND the doc-bytes rendering (round 4: JSON, XML,

@@ -66,6 +66,33 @@ def test_decontaminate_threshold_excludes_below(spark):
     assert dedup.decontaminate(corpus, bench, threshold=0.4).count() == 1
 
 
+def test_embedding_decontaminate_flags_semantic_dups(spark):
+    """Corpus vectors near a benchmark vector are flagged; orthogonal ones
+    are not; the anti-join recipe keeps only clean vectors."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    near = base + rng.standard_normal(64) * 0.01      # cos ~ 1
+    # orthogonalize a second vector against base (cos ~ 0)
+    other = rng.standard_normal(64)
+    other -= other.dot(base) / base.dot(base) * base
+    bench = spark.createDataFrame(
+        [(100, [float(x) for x in base])],
+        "bench_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [float(x) for x in near]), (2, [float(x) for x in other])],
+        "vec_id long, embedding array<double>")
+    flags = dedup.embedding_decontaminate(corpus, bench, threshold=0.9,
+                                          planes=4, seed=7).collect()
+    assert [(r["vec_id"], r["bench_id"]) for r in flags] == [(1, 100)]
+    assert flags[0]["cos_sim"] > 0.99
+    kept = corpus.join(
+        spark.createDataFrame([(1,)], "vec_id long"), "vec_id", "left_anti"
+    ).collect()
+    assert [r["vec_id"] for r in kept] == [2]
+
+
 # ------------------------------------------------------------------ dedup --
 
 def test_exact_dedup_idempotent(spark, docs):

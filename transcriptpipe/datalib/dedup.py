@@ -481,6 +481,45 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     return pairs.unionByName(star)
 
 
+def embedding_decontaminate(corpus: DataFrame, bench: DataFrame,
+                            id_col: str = "vec_id",
+                            bench_id_col: str = "bench_id",
+                            vec_col: str = "embedding", dim: int = 64,
+                            threshold: float = 0.9, planes: int = 8,
+                            seed: int = 42) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space sibling of
+    ``decontaminate``: flag corpus vectors within cosine >= ``threshold``
+    of any benchmark vector (paraphrased test-set leakage that n-gram
+    overlap misses).
+
+    Both sides take the SAME seeded hyperplane signature; candidates come
+    from the bucket equi-join (cross-set, never a cross join), then exact
+    cosine verifies. The benchmark side is an eval set (thousands of
+    vectors, not billions), so per-bucket fanout is ~|corpus bucket| x
+    O(1); size ``planes`` ≈ log2(N_corpus / target_bucket) as for
+    embedding_near_dups. Sign-LSH recall caveats are shared with
+    embedding_near_dups (observe with embedding_bucket_stats; raise
+    ``planes`` and re-run for a recall curve).
+
+    Returns (id_col, bench_id_col, cos_sim) — one row per flagged pair;
+    remove with ``corpus.join(flags, id_col, "left_anti")``."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    hp = rng.standard_normal((planes, dim)).tolist()
+
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    c = corpus.select(F.col(id_col), v.alias("cv"),
+                      _hyperplane_sig(v, hp).alias("bucket"))
+    b = bench.select(F.col(bench_id_col), v.alias("bv"),
+                     _hyperplane_sig(v, hp).alias("bucket"))
+    return (
+        c.join(b, "bucket")
+        .select(id_col, bench_id_col, _cosine("cv", "bv").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_bucket_stats(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding", dim: int = 64,
                            planes: int = 8, seed: int = 42,

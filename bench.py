@@ -135,7 +135,7 @@ def main() -> None:
         "tpch_q1", "tpch_q3", "tpch_q5",
         "doc_dedup_exact", "doc_minhash_lsh", "doc_jaccard_verified",
         "doc_dup_clusters", "doc_simhash", "emb_ann_cosine",
-        "doc_decontam", "doc_packed",
+        "doc_decontam", "doc_packed", "emb_decontam",
     ]:
         t0 = time.monotonic()
         noop_write(qs[name](spark, SF_DIR))

@@ -5,7 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from transcriptpipe.datalib import dedup, multimodal, similarity, textstats
+from transcriptpipe.datalib import (dedup, multimodal, sample, similarity,
+                                    textstats)
 
 SF = "/root/testdata/sf0.001"
 
@@ -64,6 +65,38 @@ def test_decontaminate_threshold_excludes_below(spark):
                                    "doc_id long, text string")
     assert dedup.decontaminate(corpus, bench, threshold=0.5).count() == 0
     assert dedup.decontaminate(corpus, bench, threshold=0.4).count() == 1
+
+
+def test_decontaminate_degenerate_inputs(spark):
+    """Null/empty/short texts neither crash nor flag: null text produces
+    no shingles and no hash match (md5(null) is null on both engines);
+    sub-n-gram texts only match via the exact path."""
+    bench = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two"), (4, "x1 x2 x3 x4")],
+        "bench_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, None), (11, ""), (12, "one two"), (13, "zz")],
+        "doc_id long, text string")
+    flags = dedup.decontaminate(corpus, bench, threshold=0.5).collect()
+    got = {(r["doc_id"], r["bench_id"]): (r["exact"], r["containment"])
+           for r in flags}
+    # "" == "" and "one two" == "one two" match exactly (no shingles ->
+    # containment null); nulls match nothing; "zz" matches nothing
+    assert got == {(11, 2): (True, None), (12, 3): (True, None)}
+
+
+def test_pack_chunks_degenerate_inputs(spark):
+    """Null texts are skipped by the bucket concat (array_join and the
+    DuckDB string_agg both drop nulls); an all-null corpus yields no
+    chunks; empty strings contribute an empty token like chunk_text."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "doc_id long, text string")
+    assert sample.pack_chunks(df, max_tokens=8, buckets=2).count() == 0
+    df2 = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e")], "doc_id long, text string")
+    out = sample.pack_chunks(df2, max_tokens=100, buckets=1).collect()
+    toks = [t for r in out for t in r["chunk_text"].split(" ")]
+    assert sorted(toks) == ["a", "b", "c", "d", "e"]
 
 
 def test_embedding_decontaminate_flags_semantic_dups(spark):

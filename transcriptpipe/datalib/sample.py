@@ -88,8 +88,14 @@ def pack_chunks(df: DataFrame, max_tokens: int, buckets: int = 64,
                            F.col(id_col).alias("id"),
                            F.col(text_col).alias("t")).alias("e"))
         .groupBy("bucket")
-        .agg(F.array_join(F.array_sort(F.collect_list("e")).getField("t"),
-                          " ").alias("text"))
+        # null texts are skipped by the join (like SQL string_agg); a
+        # bucket holding ONLY null texts must concat to NULL, not "" —
+        # array_join alone returns "" there, which would emit a phantom
+        # empty chunk the DuckDB mirror (string_agg -> NULL) never sees
+        .agg(F.when(
+            F.count(F.col("e")["t"]) > 0,
+            F.array_join(F.array_sort(F.collect_list("e")).getField("t"),
+                         " ")).alias("text"))
     )
     return chunk_text(packed, max_tokens=max_tokens, overlap=0,
                       id_col="bucket", text_col="text")

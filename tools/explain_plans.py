@@ -99,6 +99,21 @@ def main() -> None:
     checks.append(("coalesce = one exchange", shuffle_exchanges(p) == 1,
                    f"{shuffle_exchanges(p)} exchanges"))
 
+    # --- round-5 decontamination / packing operators: candidate generation
+    # must be equi-joins (shingle / LSH-bucket / hash keys) — at 10^10 docs
+    # a theta join or cartesian here is fatal
+    for qname in ("doc_decontam", "emb_decontam"):
+        p = plan_of(getattr(entrymod, f"q_{qname}")(spark, SF))
+        out.append(f"## {qname}\n```\n" + p + "\n```\n")
+        bad = ("CartesianProduct" in p) or ("BroadcastNestedLoopJoin" in p)
+        checks.append((f"{qname}: equi-joins only (no theta/cartesian)",
+                       not bad, "found a non-equi join operator"))
+    p = plan_of(entrymod.q_doc_packed(spark, SF))
+    out.append("## doc_packed\n```\n" + p + "\n```\n")
+    checks.append(("doc_packed = one exchange (bucket groupBy)",
+                   shuffle_exchanges(p) == 1,
+                   f"{shuffle_exchanges(p)} exchanges"))
+
     out.append("## checks\n")
     failed = 0
     for name, ok, detail in checks:

@@ -45,12 +45,12 @@ def test_sql_args_last_win_duplicate_keys(spark):
     ]
     df = spark.createDataFrame(rows, schema=schemas.TRANSCRIPTS)
     outs = {}
-    for engine in ("sql", "arrow"):
+    for engine in ("sql", "arrow", "expr", "arrow_agg"):
         sinks = pipeline.build(
             spark, df, pipeline.PipeConf(persist=False, engine=engine))
         outs[engine] = {r["conv_id"]: (r["doc"], r["error"])
                         for r in sinks["json_doc"].collect()}
-    assert outs["sql"] == outs["arrow"]
+    assert outs["sql"] == outs["arrow"] == outs["expr"] == outs["arrow_agg"]
     doc1, err1 = outs["sql"]["conv-1"]
     assert err1 is None and '"args":["good","x"]' in doc1
     doc2, err2 = outs["sql"]["conv-2"]

@@ -1017,6 +1017,243 @@ FROM documents GROUP BY source
 """
 
 
+def _pii_injected(did) -> "F.Column":
+    """Deterministic synthetic-PII suffix keyed off doc_id (the corpus text
+    is word soup with no digits/@, so the masking path needs planted spans
+    to exercise; docs with doc_id % 3 == 2 stay clean to cover the no-PII
+    path). The DuckDB oracle plants the IDENTICAL suffix."""
+    s = lambda e: e.cast("string")  # noqa: E731
+    return F.concat(
+        F.lit(" reach u"), s(did), F.lit("@mail"), s(did % 7),
+        F.lit(".org ip 10."), s(did % 256), F.lit(".7."), s((did * 3) % 256),
+        F.lit(" tel 555-"), s(did % 900 + 100), F.lit("-"), s(did % 9000 + 1000),
+        F.lit(" ssn "), s((did * 7) % 900 + 100), F.lit("-"),
+        s(did % 90 + 10), F.lit("-"), s((did * 11) % 9000 + 1000),
+        F.lit(" card 4111 1111 1111 "), s((did * 13) % 9000 + 1000),
+    )
+
+
+_SQL_PII_INJECT = (
+    "CASE WHEN doc_id % 3 = 2 THEN text ELSE text"
+    " || ' reach u' || CAST(doc_id AS VARCHAR)"
+    " || '@mail' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7.' || CAST((doc_id * 3) % 256 AS VARCHAR)"
+    " || ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR)"
+    " || ' ssn ' || CAST((doc_id * 7) % 900 + 100 AS VARCHAR)"
+    " || '-' || CAST(doc_id % 90 + 10 AS VARCHAR)"
+    " || '-' || CAST((doc_id * 11) % 9000 + 1000 AS VARCHAR)"
+    " || ' card 4111 1111 1111 ' || CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR)"
+    " END"
+)
+
+
+def q_doc_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (datalib.pii.mask_pii): sequential EMAIL→CARD→SSN→
+    PHONE→IP regexp_replace chain with per-type match counts, all JVM-side
+    (one narrow projection, whole-stage codegen — no shuffle, no Python).
+    Synthetic PII is planted deterministically (see _pii_injected); the
+    full masked text is value-hash-checked per doc against DuckDB running
+    the identical pattern strings."""
+    from transcriptpipe.datalib import pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.when(did % 3 == 2, F.col("text")).otherwise(
+        F.concat(F.col("text"), _pii_injected(did))
+    )
+    masked = pii.mask_pii(d.select("doc_id", "source", txt.alias("text")))
+    return masked.select(
+        "doc_id", "source", "masked_text",
+        "n_email", "n_card", "n_ssn", "n_phone", "n_ip",
+    )
+
+
+def _sql_doc_pii_mask() -> str:
+    from transcriptpipe.datalib import pii
+
+    masked, counts = pii.sql_mask_chain("t")
+    count_cols = ", ".join(
+        f"CAST({c} AS INT) AS n_{name}"
+        for (name, _, _), c in zip(pii.PII_PATTERNS, counts)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, source, {_SQL_PII_INJECT} AS t FROM documents)
+SELECT doc_id, source, {masked} AS masked_text, {count_cols}
+FROM t
+"""
+
+
+def q_doc_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII census (datalib.pii.pii_stats): docs scanned, docs
+    carrying any PII, and total masked spans by type — the audit artifact
+    a scrubbing run publishes. One partial-aggregated groupBy."""
+    from transcriptpipe.datalib import pii
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = F.when(did % 3 == 2, F.col("text")).otherwise(
+        F.concat(F.col("text"), _pii_injected(did))
+    )
+    return pii.pii_stats(d.select("doc_id", "source", txt.alias("text")))
+
+
+def _sql_doc_pii_stats() -> str:
+    from transcriptpipe.datalib import pii
+
+    _, counts = pii.sql_mask_chain("t")
+    names = [name for name, _, _ in pii.PII_PATTERNS]
+    per_doc = ", ".join(
+        f"CAST({c} AS BIGINT) AS n_{name}" for name, c in zip(names, counts)
+    )
+    any_pii = " + ".join(f"n_{n}" for n in names)
+    totals = ", ".join(
+        f"CAST(sum(n_{n}) AS BIGINT) AS total_{n}" for n in names
+    )
+    return f"""
+WITH t AS (SELECT doc_id, source, {_SQL_PII_INJECT} AS t FROM documents),
+c AS (SELECT source, {per_doc} FROM t)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN {any_pii} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_with_pii,
+       {totals}
+FROM c GROUP BY source
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition census per language
+    (datalib.textstats.repetition_features): duplicate word-2/3-gram
+    fractions and top-single-n-gram occupancy — the boilerplate/looping
+    filter signals. Exact integer counters are summed (order-independent)
+    and the ratios derived AFTER aggregation, so the group ratio is one
+    double division on identical operands in both engines."""
+    from transcriptpipe.datalib import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    r = textstats.repetition_features(F.col("text"))
+    agg = (
+        d.select("lang", r.alias("r"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[
+                F.sum(F.col("r")[f]).alias(f"{f}_sum")
+                for f in ("n2_total", "n2_distinct", "top2_occ",
+                          "n3_total", "n3_distinct", "top3_occ")
+            ],
+        )
+    )
+    dup = lambda n: F.round(  # noqa: E731
+        F.lit(1.0)
+        - F.col(f"n{n}_distinct_sum").cast("double")
+        / F.greatest(F.col(f"n{n}_total_sum"), F.lit(1)),
+        4,
+    )
+    return agg.select(
+        "lang", "n_docs",
+        "n2_total_sum", "n2_distinct_sum", "top2_occ_sum",
+        "n3_total_sum", "n3_distinct_sum", "top3_occ_sum",
+        dup(2).alias("dup2_frac"), dup(3).alias("dup3_frac"),
+    )
+
+
+_SQL_GRAMS = r"""
+WITH t AS (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+g AS (SELECT lang,
+  list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+  list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+  FROM t)
+"""
+
+SQL_DOC_REPETITION = _SQL_GRAMS + """
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(len(g2)) AS BIGINT) AS n2_total_sum,
+  CAST(sum(len(list_distinct(g2))) AS BIGINT) AS n2_distinct_sum,
+  CAST(sum(coalesce(list_max(list_transform(list_distinct(g2),
+      d -> len(list_filter(g2, x -> x = d)))), 0)) AS BIGINT) AS top2_occ_sum,
+  CAST(sum(len(g3)) AS BIGINT) AS n3_total_sum,
+  CAST(sum(len(list_distinct(g3))) AS BIGINT) AS n3_distinct_sum,
+  CAST(sum(coalesce(list_max(list_transform(list_distinct(g3),
+      d -> len(list_filter(g3, x -> x = d)))), 0)) AS BIGINT) AS top3_occ_sum,
+  round(1 - CAST(sum(len(list_distinct(g2))) AS DOUBLE)
+          / greatest(sum(len(g2)), 1), 4) AS dup2_frac,
+  round(1 - CAST(sum(len(list_distinct(g3))) AS DOUBLE)
+          / greatest(sum(len(g3)), 1), 4) AS dup3_frac
+FROM g GROUP BY lang
+"""
+
+
+def q_doc_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (datalib.textstats.top_ngrams): 20 most frequent
+    word 2-grams, ties broken by n-gram string. explode → partial-agg
+    groupBy → TakeOrdered; no global sort materialization."""
+    from transcriptpipe.datalib import textstats
+
+    return textstats.top_ngrams(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
+SQL_DOC_TOP_NGRAMS = _SQL_GRAMS + """
+SELECT ngram, count(*) AS n
+FROM (SELECT unnest(g2) AS ngram FROM g)
+GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20
+"""
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-language subset (datalib.sample.stratified_sample):
+    exactly 20 docs per lang chosen by deterministic (md5, key) rank.
+    The rank<=k filter compiles to WindowGroupLimit (asserted in
+    tools/explain_plans.py), so each map task ships only its local top-k
+    into the stratum shuffle — skew-safe at 100 TB."""
+    from transcriptpipe.datalib import sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sample.stratified_sample(d, "lang", 20)
+
+
+SQL_DOC_STRATIFIED = """
+WITH h AS (SELECT doc_id, lang, source,
+  try_cast('0x' || substr(md5('strat-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) AS hv
+  FROM documents)
+SELECT doc_id, lang, source
+FROM (SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      FROM h)
+WHERE rk <= 20
+"""
+
+
+_MIX_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1,
+                  "src4": 0.75}
+
+
+def q_doc_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (datalib.sample.mix_sources): keep each
+    source at its mixture fraction via the deterministic md5 coin —
+    re-weighting heterogeneous sources without shuffle or RNG state.
+    Sources outside the recipe are dropped. Narrow single filter."""
+    from transcriptpipe.datalib import sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample.mix_sources(d, _MIX_FRACTIONS)
+
+
+def _sql_doc_mix() -> str:
+    coin = ("try_cast('0x' || substr(md5('mix-v1' || "
+            "CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)")
+    arms = " OR ".join(
+        f"(source = '{src}' AND {coin} < {int(min(frac, 1.0) * (1 << 32))})"
+        for src, frac in sorted(_MIX_FRACTIONS.items())
+    )
+    return f"SELECT doc_id, source FROM documents WHERE {arms}"
+
+
 # --------------------------------------------------------------------------
 # embeddings-table queries — similarity search
 # --------------------------------------------------------------------------
@@ -1859,6 +2096,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_langid": q_doc_langid,
+        "doc_pii_mask": q_doc_pii_mask,
+        "doc_pii_stats": q_doc_pii_stats,
+        "doc_repetition": q_doc_repetition,
+        "doc_top_ngrams": q_doc_top_ngrams,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_mix": q_doc_mix,
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_ivf_cells": q_emb_ivf_cells,
@@ -1908,6 +2151,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": SQL_DOC_QUALITY,
         "doc_fingerprint": SQL_DOC_FINGERPRINT,
         "doc_langid": _sql_doc_langid(),
+        "doc_pii_mask": _sql_doc_pii_mask(),
+        "doc_pii_stats": _sql_doc_pii_stats(),
+        "doc_repetition": SQL_DOC_REPETITION,
+        "doc_top_ngrams": SQL_DOC_TOP_NGRAMS,
+        "doc_stratified_sample": SQL_DOC_STRATIFIED,
+        "doc_mix": _sql_doc_mix(),
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_ivf_cells": _sql_emb_ivf_cells(),

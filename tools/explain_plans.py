@@ -114,6 +114,32 @@ def main() -> None:
                    shuffle_exchanges(p) == 1,
                    f"{shuffle_exchanges(p)} exchanges"))
 
+    # --- round-5 curation operators: PII masking and source mixing must be
+    # NARROW (no exchange — they run inside the 100 TB scan), and the
+    # stratified sampler's rank<=k must compile to WindowGroupLimit so map
+    # tasks ship only local top-k into the stratum shuffle
+    p = plan_of(entrymod.q_doc_pii_mask(spark, SF))
+    out.append("## doc_pii_mask\n```\n" + p + "\n```\n")
+    checks.append(("pii_mask is narrow (zero exchanges)",
+                   shuffle_exchanges(p) == 0,
+                   f"{shuffle_exchanges(p)} exchanges"))
+    checks.append(("pii_mask stays codegen'd (no Python UDF)",
+                   "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+                   "Python eval node in plan"))
+    p = plan_of(entrymod.q_doc_mix(spark, SF))
+    out.append("## doc_mix\n```\n" + p + "\n```\n")
+    checks.append(("doc_mix is narrow (zero exchanges)",
+                   shuffle_exchanges(p) == 0,
+                   f"{shuffle_exchanges(p)} exchanges"))
+    p = plan_of(entrymod.q_doc_stratified_sample(spark, SF))
+    out.append("## doc_stratified_sample\n```\n" + p + "\n```\n")
+    checks.append(("stratified sample pushes WindowGroupLimit",
+                   "WindowGroupLimit" in p, "no WindowGroupLimit in plan"))
+    p = plan_of(entrymod.q_doc_top_ngrams(spark, SF))
+    out.append("## doc_top_ngrams\n```\n" + p + "\n```\n")
+    checks.append(("top_ngrams top-k is TakeOrdered (no global sort)",
+                   "TakeOrderedAndProject" in p, "global sort instead of top-k"))
+
     out.append("## checks\n")
     failed = 0
     for name, ok, detail in checks:

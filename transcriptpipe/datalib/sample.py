@@ -139,3 +139,46 @@ def chunk_text(df: DataFrame, max_tokens: int, overlap: int = 0,
         F.size(chunk).alias("n_tokens"),
         (F.col("_start") - 1).alias("token_start"),
     )
+
+
+def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
+                      key_col: str = "doc_id",
+                      salt: str = "strat-v1") -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically: rank by (md5 hash, key) inside each
+    stratum and keep the first n. Same retry/cluster-size stability story
+    as hash_split — the "balanced subset" op for dataset curation.
+
+    Scale: the rank<=k filter sits directly above the window, so Spark's
+    InferWindowGroupLimit rewrites it into a WindowGroupLimit — each map
+    task keeps only its local top-k BEFORE the shuffle, so the exchange
+    carries O(partitions * k) rows per stratum, not the whole stratum.
+    Skewed strata therefore don't flood a single reducer at 100 TB."""
+    from pyspark.sql.window import Window
+
+    h = _hash_u32(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def mix_sources(df: DataFrame, fractions: dict[str, float],
+                source_col: str = "source", key_col: str = "doc_id",
+                salt: str = "mix-v1") -> DataFrame:
+    """Weighted dataset mixing: keep each row with its source's fraction,
+    decided by the deterministic md5 coin — the standard way to re-weight
+    heterogeneous corpora (books x2 epochs, web x0.3, ...) without a
+    shuffle or RNG state. Sources absent from ``fractions`` are dropped;
+    fractions > 1 are capped at keep-all (true up-sampling means emitting
+    the row more than once — do that with an explode on ceil(frac) copies
+    upstream if needed). Narrow: one filter, fully pushed into the scan."""
+    cond = None
+    h = _hash_u32(F.col(key_col), salt)
+    for src, frac in sorted(fractions.items()):
+        thr = int(min(max(frac, 0.0), 1.0) * _BUCKETS)
+        this = (F.col(source_col) == src) & (h < thr)
+        cond = this if cond is None else (cond | this)
+    return df.filter(cond if cond is not None else F.lit(False))

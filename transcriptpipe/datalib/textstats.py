@@ -125,3 +125,66 @@ def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality_score"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Array of word n-grams joined with single spaces; empty array when the
+    document has fewer than ``n`` tokens (guard needed because Spark's
+    sequence(1, 0) would produce a DESCENDING [1, 0], not an empty list)."""
+    n_tok = F.size(toks)
+    return F.when(
+        n_tok >= n,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(text: Column, ns: tuple[int, ...] = (2, 3)) -> Column:
+    """Struct of Gopher-style within-document repetition counters, the
+    signals used to drop boilerplate/looping docs from training corpora:
+    per n in ``ns``, the total and distinct n-gram counts plus the highest
+    single-n-gram occurrence count (``top{n}_occ``).
+
+    Counts (exact integers) rather than ratios are returned so aggregates
+    stay order-independent; derive ``dup_frac = 1 - distinct/total`` and
+    ``top_frac = top_occ/total`` AFTER summing. Cost is O(distinct * total)
+    per document for the top-occurrence scan — bounded and embarrassingly
+    parallel; for multi-MB documents switch to the explode-based census in
+    :func:`top_ngrams` instead."""
+    toks = F.split(F.trim(text), r"\s+")
+    fields = []
+    for n in ns:
+        g = word_ngrams(toks, n)
+        d = F.array_distinct(g)
+        top = F.coalesce(
+            F.array_max(F.transform(d, lambda x: F.size(F.filter(g, lambda y: y == x)))),
+            F.lit(0),
+        )
+        fields += [
+            F.size(g).alias(f"n{n}_total"),
+            F.size(d).alias(f"n{n}_distinct"),
+            top.alias(f"top{n}_occ"),
+        ]
+    return F.struct(*fields)
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20,
+               text_col: str = "text") -> DataFrame:
+    """Corpus-level heavy hitters: the ``k`` most frequent word n-grams with
+    counts, ties broken by n-gram string ascending (deterministic).
+
+    Scale: explode → groupBy(ngram) benefits from map-side partial
+    aggregation, and the final top-k is a TakeOrdered (no global sort
+    materialization). At 100 TB the distinct-ngram key space is the only
+    pressure point — pre-filter with a frequency sketch or hash-mod
+    sampling of the gram space if the count table itself overflows."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        df.select(F.explode(word_ngrams(toks, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )

@@ -1254,6 +1254,54 @@ def _sql_doc_mix() -> str:
     return f"SELECT doc_id, source FROM documents WHERE {arms}"
 
 
+def q_doc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal (datalib.boilerplate.remove_boilerplate):
+    drop lines recurring in >= 3 distinct documents, the C4/RefinedWeb
+    line-level cleanup. The fixture documents are single-line, so the
+    query deterministically shapes each doc as header(source) / body /
+    footer(lang); the shared header+footer lines are the boilerplate the
+    operator must remove while keeping every unique body. Plan: narrow
+    line explode, a (doc, line-hash)-projection count shuffle, BROADCAST
+    left join of the tiny frequent set, ONE full-text reassembly shuffle."""
+    from transcriptpipe.datalib import boilerplate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("HDR "), F.col("source")),
+            F.col("text"),
+            F.concat(F.lit("FTR "), F.col("lang")),
+        ).alias("text"),
+    )
+    return boilerplate.remove_boilerplate(d, min_docs=3)
+
+
+SQL_DOC_BOILERPLATE = """
+WITH d AS (SELECT doc_id,
+                  concat_ws(chr(10), 'HDR ' || source, text,
+                            'FTR ' || lang) AS text
+           FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM d
+       WHERE text IS NOT NULL),
+lines AS (SELECT doc_id, u.i - 1 AS idx, a[u.i] AS line,
+                 md5(trim(a[u.i])) AS k, trim(a[u.i]) = '' AS blank
+          FROM ls, unnest(range(1, len(a) + 1)) AS u(i)),
+freq AS (SELECT k FROM (SELECT DISTINCT doc_id, k FROM lines
+                        WHERE NOT blank)
+         GROUP BY k HAVING count(*) >= 3),
+m AS (SELECT doc_id, idx, line,
+             (NOT blank AND k IN (SELECT k FROM freq)) AS boiler
+      FROM lines)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN NOT boiler THEN line END,
+                           chr(10) ORDER BY idx), '') AS text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM m GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings-table queries — similarity search
 # --------------------------------------------------------------------------
@@ -2102,6 +2150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_top_ngrams": q_doc_top_ngrams,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_mix": q_doc_mix,
+        "doc_boilerplate": q_doc_boilerplate,
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_ivf_cells": q_emb_ivf_cells,
@@ -2157,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_ngrams": SQL_DOC_TOP_NGRAMS,
         "doc_stratified_sample": SQL_DOC_STRATIFIED,
         "doc_mix": _sql_doc_mix(),
+        "doc_boilerplate": SQL_DOC_BOILERPLATE,
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_ivf_cells": _sql_emb_ivf_cells(),

@@ -139,6 +139,17 @@ def main() -> None:
     out.append("## doc_top_ngrams\n```\n" + p + "\n```\n")
     checks.append(("top_ngrams top-k is TakeOrdered (no global sort)",
                    "TakeOrderedAndProject" in p, "global sort instead of top-k"))
+    # boilerplate removal: the frequent-line set must come back as a
+    # BROADCAST join (never reshuffle the corpus lines against it), and
+    # full-text rows may cross the wire at most once (reassembly groupBy)
+    # on top of the two narrow-projection census shuffles
+    p = plan_of(entrymod.q_doc_boilerplate(spark, SF))
+    out.append("## doc_boilerplate\n```\n" + p + "\n```\n")
+    checks.append(("boilerplate frequent set is broadcast",
+                   "BroadcastHashJoin" in p, "frequent-line join not broadcast"))
+    checks.append(("boilerplate <= 3 shuffles (census x2 + reassembly)",
+                   shuffle_exchanges(p) <= 3,
+                   f"{shuffle_exchanges(p)} exchanges"))
 
     out.append("## checks\n")
     failed = 0

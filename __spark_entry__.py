@@ -1302,6 +1302,53 @@ FROM m GROUP BY doc_id
 """
 
 
+_BM25_TERMS = ["table", "scan", "fast"]
+_BM25_K = 15
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (datalib.search.bm25_topk): top-15 docs by BM25
+    for a literal 3-term query. Per-doc tf/dl are narrow expressions (no
+    explode, no inverted-index shuffle); corpus stats (N, avgdl, df_t) are
+    one tiny aggregate broadcast back via single-row crossJoin; ranking is
+    a TakeOrdered over scores rounded to 4 decimals (ties -> doc_id), so
+    the result is stable across engines and cluster sizes."""
+    from transcriptpipe.datalib import search
+
+    return search.bm25_topk(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        _BM25_TERMS, k=_BM25_K)
+
+
+def _sql_doc_bm25() -> str:
+    tf_cols = ",\n       ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS))
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS)))
+    k1, b = 1.2, 0.75
+    parts = " + ".join(
+        f"(ln(1.0 + (n - CAST(df{i} AS DOUBLE) + 0.5) / "
+        f"(CAST(df{i} AS DOUBLE) + 0.5)) * CAST(tf{i} AS DOUBLE) * {k1 + 1.0}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1} * ({1.0 - b} + {b} * dl / avgdl)))"
+        for i in range(len(_BM25_TERMS)))
+    return f"""
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents WHERE text IS NOT NULL),
+base AS (SELECT doc_id, len(toks) AS dl,
+       {tf_cols}
+         FROM t),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl, {df_cols} FROM base)
+SELECT doc_id, bm25 FROM (
+  SELECT doc_id, round({parts}, 4) AS bm25
+  FROM base, stats)
+WHERE bm25 > 0
+ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings-table queries — similarity search
 # --------------------------------------------------------------------------
@@ -2151,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_mix": q_doc_mix,
         "doc_boilerplate": q_doc_boilerplate,
+        "doc_bm25": q_doc_bm25,
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_ivf_cells": q_emb_ivf_cells,
@@ -2207,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stratified_sample": SQL_DOC_STRATIFIED,
         "doc_mix": _sql_doc_mix(),
         "doc_boilerplate": SQL_DOC_BOILERPLATE,
+        "doc_bm25": _sql_doc_bm25(),
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_ivf_cells": _sql_emb_ivf_cells(),

@@ -1349,6 +1349,214 @@ ORDER BY bm25 DESC, doc_id LIMIT {_BM25_K}
 """
 
 
+def q_doc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (datalib.textstats.normalize_text): control-char
+    strip, whitespace-run collapse, newline hygiene, trim — the canonical
+    cleanup before hashing/dedup/tokenization. Byte-level noise is planted
+    deterministically around each doc (tabs, a control char, a 4-newline
+    run, pad spaces); the full normalized bytes are value-hash-checked
+    against DuckDB running the IDENTICAL regex chain (Java∩RE2 subset).
+    Narrow chained regexp_replace, whole-stage codegen, zero shuffle."""
+    from transcriptpipe.datalib import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  \t "), F.col("text"),
+        F.lit(" x\x01y \t z \n\n\n\n  tail line  "),
+    )
+    return d.select(
+        "doc_id",
+        textstats.normalize_text(messy).alias("norm_text"),
+        (F.length(messy) - F.length(textstats.normalize_text(messy)))
+        .alias("n_removed"),
+    )
+
+
+def _sql_doc_normalize() -> str:
+    from transcriptpipe.datalib.textstats import sql_normalize_chain
+
+    messy = ("'  ' || chr(9) || ' ' || text || ' x' || chr(1) || 'y ' || "
+             "chr(9) || ' z ' || repeat(chr(10), 4) || '  tail line  '")
+    norm = sql_normalize_chain("m")
+    return f"""
+WITH t AS (SELECT doc_id, {messy} AS m FROM documents)
+SELECT doc_id, {norm} AS norm_text,
+       length(m) - length({norm}) AS n_removed
+FROM t
+"""
+
+
+# per-doc quality_score mirror (datalib.textstats.quality_score over a
+# DuckDB column expression) — shared by doc_filter_chain / doc_keep_best
+def _sql_quality_expr(text: str) -> str:
+    toks = f"regexp_split_to_array(trim({text}), '\\s+')"
+    punct_ratio = (
+        f"round(CAST(length(regexp_replace({text}, '[^.,;:!?''\"]', '', 'g'))"
+        f" AS DOUBLE) / greatest(length({text}), 1), 4)"
+    )
+    mean_wl = (
+        f"round(CAST(length(regexp_replace({text}, '\\s+', '', 'g'))"
+        f" AS DOUBLE) / greatest(len({toks}), 1), 2)"
+    )
+    length_ok = f"least(CAST(len({toks}) AS DOUBLE) / 20.0, 1.0)"
+    punct_ok = f"(1.0 - least({punct_ratio} * 5.0, 1.0))"
+    word_ok = (f"(CASE WHEN {mean_wl} >= 3 AND {mean_wl} <= 10"
+               f" THEN 1.0 ELSE 0.5 END)")
+    return f"round(({length_ok} + {punct_ok} + {word_ok}) / 3.0, 4)"
+
+
+# per-doc lang_id mirror (argmax profile score, (score, lang) struct-max
+# tie-break = max lang string on equal score) over a toks-array column
+def _sql_langid_case(toks: str) -> tuple[str, str]:
+    from transcriptpipe.datalib.textstats import LANG_PROFILES
+
+    score = {
+        lang: (
+            f"CAST(len(list_filter({toks}, x -> list_contains({prof!r}, x)))"
+            f" AS DOUBLE) / greatest(len({toks}), 1)"
+        )
+        for lang, prof in LANG_PROFILES.items()
+    }
+    cols = ", ".join(f"{e} AS s_{la}" for la, e in score.items())
+    g = "greatest(" + ", ".join(f"s_{la}" for la in score) + ")"
+    cases = " ".join(
+        f"WHEN s_{la} = {g} THEN '{la}'" for la in sorted(score, reverse=True)
+    )
+    return cols, f"CASE WHEN {g} = 0 THEN 'und' {cases} END"
+
+
+_FILTER_CONF = dict(min_tokens=20, max_tokens=90, allowed_langs=["en", "und"],
+                    min_quality=0.9, max_dup2_frac=0.62)
+
+
+def q_doc_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite corpus filter (datalib.filters.annotate_filters): ONE
+    narrow projection computes every signal (token count, language ID,
+    quality score, duplicate-2-gram fraction) plus the keep decision and
+    the FIRST failing rule as the audit reason — the C4/Gopher-style
+    cleanup cascade, rule order pinned by the oracle. Zero shuffle; at
+    100 TB this rides the ingest scan."""
+    from transcriptpipe.datalib import filters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return filters.annotate_filters(d, **_FILTER_CONF).select(
+        "doc_id", "n_tokens", "lang_pred", "quality", "dup2_frac",
+        "drop_reason", "keep",
+    )
+
+
+def _sql_doc_filter_chain() -> str:
+    c = _FILTER_CONF
+    lang_cols, lang_case = _sql_langid_case("ltoks")
+    q = _sql_quality_expr("text")
+    langs = ", ".join(f"'{la}'" for la in c["allowed_langs"])
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_split_to_array(lower(text), '\\s+') AS ltoks,
+                  regexp_split_to_array(trim(text), '\\s+') AS toks
+           FROM documents),
+g AS (SELECT doc_id, text, toks, ltoks,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> toks[i] || ' ' || toks[i + 1]) AS g2
+      FROM t),
+s AS (SELECT doc_id, text, toks, g2, {lang_cols} FROM g),
+f AS (SELECT doc_id,
+             CAST(coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(toks) END, 0) AS INT) AS n_tokens,
+             {lang_case} AS lang_pred,
+             {q} AS quality,
+             (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)
+                    / greatest(len(g2), 1)) AS dup2
+      FROM s)
+SELECT doc_id, n_tokens, lang_pred, quality,
+       round(dup2, 4) AS dup2_frac,
+       CASE WHEN n_tokens < {c["min_tokens"]} THEN 'too_short'
+            WHEN n_tokens > {c["max_tokens"]} THEN 'too_long'
+            WHEN lang_pred NOT IN ({langs}) THEN 'bad_lang'
+            WHEN quality < {c["min_quality"]} THEN 'low_quality'
+            WHEN dup2 > {c["max_dup2_frac"]} THEN 'too_repetitive'
+            END AS drop_reason,
+       (CASE WHEN n_tokens < {c["min_tokens"]} THEN 'too_short'
+            WHEN n_tokens > {c["max_tokens"]} THEN 'too_long'
+            WHEN lang_pred NOT IN ({langs}) THEN 'bad_lang'
+            WHEN quality < {c["min_quality"]} THEN 'low_quality'
+            WHEN dup2 > {c["max_dup2_frac"]} THEN 'too_repetitive'
+            END) IS NULL AS keep
+FROM f
+"""
+
+
+_SHARD_BUDGET = 1000
+
+
+def q_doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget output sharding (datalib.sample.shard_by_budget):
+    every doc assigned to a ~1000-token shard by exclusive global prefix
+    sum in deterministic md5 order. The Spark side is the scale-safe
+    two-pass form (range partition → per-partition totals → broadcast
+    offsets → local window); the oracle is the single global window the
+    two-pass form must equal by construction."""
+    from transcriptpipe.datalib import sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return sample.shard_by_budget(d, budget_tokens=_SHARD_BUDGET)
+
+
+def _sql_doc_shards() -> str:
+    return f"""
+WITH t AS (SELECT doc_id,
+                  md5('shard-v1' || CAST(doc_id AS VARCHAR)) AS k,
+                  CAST(coalesce(
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END, 0) AS BIGINT) AS n_tokens
+           FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(coalesce(sum(n_tokens) OVER (
+              ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS DOUBLE) / {_SHARD_BUDGET}) AS BIGINT) AS shard_id
+FROM t
+"""
+
+
+def q_doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup KEEP set (datalib.dedup.cluster_reps_by): one
+    representative per near-dup cluster, chosen as the member with the
+    HIGHEST quality score (tie → min doc_id) instead of the min id —
+    "keep the best copy". Clusters come from the LSH-verified pair graph
+    (same machinery as doc_dup_clusters); the rank==1 filter compiles to
+    WindowGroupLimit so a mega-cluster ships one local best per map task."""
+    from transcriptpipe.datalib import dedup, textstats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = dedup.verified_near_dups(
+        d, id_col="doc_id", text_col="text", threshold=0.8, k=8, bands=4
+    )
+    clusters = dedup.dup_clusters(d, pairs, id_col="doc_id")
+    scored = clusters.join(d, "doc_id").select(
+        "doc_id", "cluster_id",
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    return dedup.cluster_reps_by(scored, "quality")
+
+
+def _sql_doc_keep_best() -> str:
+    cls = _sql_doc_dup_clusters().rstrip()
+    q = _sql_quality_expr("d.text")
+    return f"""
+WITH cls AS ({cls}),
+scored AS (SELECT c.doc_id, c.cluster_id, {q} AS quality
+           FROM cls c JOIN documents d ON c.doc_id = d.doc_id)
+SELECT doc_id, cluster_id, quality
+FROM (SELECT doc_id, cluster_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # embeddings-table queries — similarity search
 # --------------------------------------------------------------------------
@@ -2199,6 +2407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mix": q_doc_mix,
         "doc_boilerplate": q_doc_boilerplate,
         "doc_bm25": q_doc_bm25,
+        "doc_normalize": q_doc_normalize,
+        "doc_filter_chain": q_doc_filter_chain,
+        "doc_shards": q_doc_shards,
+        "doc_keep_best": q_doc_keep_best,
         "emb_ann_cosine": q_emb_ann_cosine,
         "emb_lsh_buckets": q_emb_lsh_buckets,
         "emb_ivf_cells": q_emb_ivf_cells,
@@ -2256,6 +2468,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_mix": _sql_doc_mix(),
         "doc_boilerplate": SQL_DOC_BOILERPLATE,
         "doc_bm25": _sql_doc_bm25(),
+        "doc_normalize": _sql_doc_normalize(),
+        "doc_filter_chain": _sql_doc_filter_chain(),
+        "doc_shards": _sql_doc_shards(),
+        "doc_keep_best": _sql_doc_keep_best(),
         "emb_ann_cosine": SQL_EMB_ANN_COSINE,
         "emb_lsh_buckets": _sql_emb_lsh_buckets(),
         "emb_ivf_cells": _sql_emb_ivf_cells(),

@@ -137,7 +137,7 @@ def main() -> None:
         "doc_dup_clusters", "doc_simhash", "emb_ann_cosine",
         "doc_decontam", "doc_packed", "emb_decontam",
         "doc_pii_mask", "doc_top_ngrams", "doc_stratified_sample",
-        "doc_boilerplate",
+        "doc_boilerplate", "doc_bm25", "doc_filter_chain", "doc_shards",
     ]:
         t0 = time.monotonic()
         noop_write(qs[name](spark, SF_DIR))

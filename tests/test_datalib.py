@@ -482,3 +482,20 @@ def test_dup_clusters_chain_exceeding_max_iter_raises(spark):
     got = {r["cluster_id"] for r in
            dedup.dup_clusters(df, pdf, max_iter=15).collect()}
     assert got == {0}
+
+
+def test_cluster_reps_by_prefers_score_then_min_id(spark):
+    from transcriptpipe.datalib import dedup
+
+    rows = [
+        # cluster 1: doc 3 has the best score -> rep despite higher id
+        (1, 1, 0.2), (2, 1, 0.9), (3, 1, 0.95),
+        # cluster 4: tie on score -> min id wins
+        (4, 4, 0.5), (5, 4, 0.5),
+        # singleton
+        (9, 9, 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long, q double")
+    reps = {r["cluster_id"]: r["doc_id"]
+            for r in dedup.cluster_reps_by(df, "q").collect()}
+    assert reps == {1: 3, 4: 4, 9: 9}

@@ -116,3 +116,37 @@ def test_pack_chunks_token_budget_and_reconstruction(spark):
 def test_chunk_text_rejects_bad_overlap(docs):
     with pytest.raises(ValueError):
         sample.chunk_text(docs, max_tokens=8, overlap=8)
+
+
+def _shard_reference(rows, budget, salt="shard-v1"):
+    """Plain-Python global prefix-sum sharding in (md5, id) order."""
+    import hashlib
+
+    def h(i):
+        return hashlib.md5(f"{salt}{i}".encode()).hexdigest()
+
+    ordered = sorted(rows, key=lambda r: (h(r[0]), r[0]))
+    out, cum = {}, 0
+    for i, t in ordered:
+        n = 0 if t is None or not t.strip() else len(t.strip().split())
+        out[i] = (n, cum // budget)
+        cum += n
+    return out
+
+
+def test_shard_by_budget_matches_reference_and_partitioning(spark):
+    rows = [(i, None if i % 37 == 0 else
+             " ".join(f"w{i}_{j}" for j in range(1 + (i * 13) % 40)))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _shard_reference(rows, budget=200)
+    for parts in (2, 7):
+        got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+               for r in sample.shard_by_budget(
+                   df.repartition(parts), 200, partitions=parts).collect()}
+        assert got == want, f"partitions={parts}"
+
+
+def test_shard_by_budget_rejects_bad_budget(docs):
+    with pytest.raises(ValueError):
+        sample.shard_by_budget(docs, 0)

@@ -151,6 +151,53 @@ def main() -> None:
                    shuffle_exchanges(p) <= 3,
                    f"{shuffle_exchanges(p)} exchanges"))
 
+    # --- round-5 second batch: normalization and the filter cascade are
+    # NARROW (they ride the ingest scan); BM25 broadcasts its single-row
+    # corpus stats; the shard assigner's global prefix sum must be the
+    # two-pass form — range exchange + pid exchange on the NARROW
+    # projection, offsets broadcast, never a single-partition global window
+    p = plan_of(entrymod.q_doc_normalize(spark, SF))
+    out.append("## doc_normalize\n```\n" + p + "\n```\n")
+    checks.append(("normalize is narrow (zero exchanges)",
+                   shuffle_exchanges(p) == 0,
+                   f"{shuffle_exchanges(p)} exchanges"))
+    p = plan_of(entrymod.q_doc_filter_chain(spark, SF))
+    out.append("## doc_filter_chain\n```\n" + p + "\n```\n")
+    checks.append(("filter chain is narrow (zero exchanges)",
+                   shuffle_exchanges(p) == 0,
+                   f"{shuffle_exchanges(p)} exchanges"))
+    checks.append(("filter chain stays codegen'd (no Python UDF)",
+                   "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+                   "Python eval node in plan"))
+    p = plan_of(entrymod.q_doc_bm25(spark, SF))
+    out.append("## doc_bm25\n```\n" + p + "\n```\n")
+    checks.append(("bm25 corpus stats broadcast (no shuffle of docs)",
+                   "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p,
+                   "stats not broadcast"))
+    checks.append(("bm25 top-k is TakeOrdered", "TakeOrderedAndProject" in p,
+                   "global sort instead of top-k"))
+    p = plan_of(entrymod.q_doc_shards(spark, SF))
+    out.append("## doc_shards\n```\n" + p + "\n```\n")
+    # data shuffles: ONE rangepartitioning of the persisted narrow
+    # projection + ONE hash(_pid) for the final window; the other two
+    # exchanges carry |partitions| rows (per-partition totals agg + the
+    # single-partition offsets window) — control plane, not data
+    checks.append(("shard: narrow projection range-shuffles ONCE",
+                   p.count("rangepartitioning") == 1,
+                   f"{p.count('rangepartitioning')} range exchanges"))
+    checks.append(("shard: both passes share the persisted frame",
+                   p.count("InMemoryTableScan") >= 2,
+                   "persisted narrow frame not reused"))
+    checks.append(("shard: <=4 exchanges (2 data + 2 control-plane)",
+                   shuffle_exchanges(p) <= 4,
+                   f"{shuffle_exchanges(p)} exchanges"))
+    checks.append(("shard offsets broadcast", "BroadcastHashJoin" in p,
+                   "offsets join not broadcast"))
+    p = plan_of(entrymod.q_doc_keep_best(spark, SF))
+    out.append("## doc_keep_best\n```\n" + p + "\n```\n")
+    checks.append(("keep_best rank pushes WindowGroupLimit",
+                   "WindowGroupLimit" in p, "no WindowGroupLimit in plan"))
+
     out.append("## checks\n")
     failed = 0
     for name, ok, detail in checks:

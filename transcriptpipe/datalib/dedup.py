@@ -608,3 +608,27 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def cluster_reps(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The dedup KEEP set: one row per cluster (its min-id representative)."""
     return clusters.filter(F.col(id_col) == F.col("cluster_id"))
+
+
+def cluster_reps_by(clusters: DataFrame, score_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware KEEP set: one row per cluster, choosing the member
+    with the HIGHEST ``score_col`` (ties → min id) instead of the min-id
+    member — "when deduping, keep the best copy, not the first one".
+    ``clusters`` is the (id, cluster_id, score, ...) frame from
+    ``dup_clusters`` joined with a scoring pass (e.g.
+    textstats.quality_score).
+
+    Scale: row_number over (cluster_id) with the rank==1 filter directly
+    above compiles to WindowGroupLimit — map tasks ship one local best per
+    cluster into the shuffle, so a pathological mega-cluster costs its
+    partition count, not its member count."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    return (
+        clusters.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -141,6 +141,84 @@ def chunk_text(df: DataFrame, max_tokens: int, overlap: int = 0,
     )
 
 
+def shard_by_budget(df: DataFrame, budget_tokens: int,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    salt: str = "shard-v1",
+                    partitions: int | None = None) -> DataFrame:
+    """Assign every document to an output shard so each shard carries
+    ~``budget_tokens`` whitespace tokens — the "write fixed-size training
+    shards" op. Documents are laid out in deterministic (md5(salt||id), id)
+    order and ``shard_id = exclusive-prefix-token-count // budget``, so the
+    assignment is reproducible across runs and cluster sizes and shard
+    boundaries never depend on partitioning.
+
+    Scale: a global prefix sum CANNOT be one window over a global ORDER BY
+    (Spark executes that in a single partition). This is the standard
+    two-pass formulation instead:
+
+    1. range-partition the NARROW (id, key, n_tokens) projection on the
+       order key (text never shuffles) and sort within partitions;
+    2. per-partition token totals (one tiny aggregate, |partitions| rows)
+       → exclusive running offsets via a window over that tiny frame;
+    3. broadcast-join the offsets back and add the within-partition
+       exclusive cumsum — range partitions are contiguous ordered key
+       ranges with ascending partition ids, so offset + local prefix IS
+       the global prefix.
+
+    Returns (id_col, n_tokens, shard_id); join back on id to write
+    ``df.write.partitionBy("shard_id")``. Null texts count 0 tokens."""
+    from pyspark.sql.window import Window
+
+    from .textstats import token_count_ws
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    t = df.select(
+        F.col(id_col),
+        key.alias("_k"),
+        F.coalesce(token_count_ws(F.col(text_col)), F.lit(0))
+        .cast("long").alias("n_tokens"),
+    )
+    t = (
+        t.repartitionByRange(n_parts, "_k", id_col)
+        .sortWithinPartitions("_k", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        # both passes (per-partition totals, final cumsum) consume this
+        # frame: persist so the range shuffle runs ONCE — without it the
+        # totals branch re-scans the source and repeats the exchange
+        # (static-plan reuse of identical stages is AQE-best-effort, not
+        # guaranteed; tools/explain_plans.py pins ONE rangepartitioning)
+        .persist()
+    )
+    totals = t.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_tot").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_in = (
+        Window.partitionBy("_pid").orderBy("_k", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = (
+        F.col("_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    )
+    return (
+        t.join(F.broadcast(offsets), "_pid")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(cum_excl / budget_tokens).cast("long").alias("shard_id"),
+        )
+    )
+
+
 def stratified_sample(df: DataFrame, strata_col: str, n_per_stratum: int,
                       key_col: str = "doc_id",
                       salt: str = "strat-v1") -> DataFrame:

@@ -53,9 +53,15 @@ def lang_scores(text: Column) -> Column:
     return F.map_from_entries(F.array(*entries))
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax language; 'und' (undetermined) when no profile hits."""
-    toks = F.split(F.lower(text), r"\s+")
+def lang_id(text: Column, toks: Column | None = None) -> Column:
+    """Argmax language; 'und' (undetermined) when no profile hits.
+
+    Pass ``toks`` (the pre-split LOWERCASED token array, ideally a bound
+    attribute column) when scoring long documents: higher-order functions
+    are not whole-stage-codegen'd, so an inline split expression inside
+    the filter lambda re-tokenizes the text per profile instead of once."""
+    if toks is None:
+        toks = F.split(F.lower(text), r"\s+")
     n = F.greatest(F.size(toks), F.lit(1))
     scored = F.array(*[
         F.struct(
@@ -68,10 +74,63 @@ def lang_id(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def quality_features(text: Column) -> Column:
+# control characters to strip during normalization: C0 except \t \n, plus
+# DEL. (\r is NOT preserved — it is normalized to nothing so CRLF → LF.)
+_CTRL_CLASS = r"[\x00-\x08\x0b-\x1f\x7f]"
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text cleanup before hashing/dedup/tokenization — the
+    normalization pass every ingest runs so that byte-level noise does not
+    defeat exact dedup or skew token counts:
+
+    1. strip control characters (C0 except tab/newline, DEL; CR dies here,
+       so CRLF collapses to LF),
+    2. collapse horizontal whitespace runs (space/tab) to one space,
+    3. drop spaces hugging a newline,
+    4. collapse 3+ consecutive newlines to a paragraph break (2),
+    5. trim leading/trailing whitespace.
+
+    Pure chained ``regexp_replace`` — narrow, whole-stage codegen'd, zero
+    shuffle; every pattern is in the Java∩RE2 common subset so a DuckDB
+    oracle can run the IDENTICAL strings (same discipline as
+    datalib.pii.PII_PATTERNS). NULL stays NULL."""
+    t = F.regexp_replace(text, _CTRL_CLASS, "")
+    t = F.regexp_replace(t, r"[ \t]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n\n\n+", "\n\n")
+    return F.regexp_replace(t, r"^[ \n]+|[ \n]+$", "")
+
+
+# the same five (pattern, replacement) steps for a SQL mirror: DuckDB
+# regexp_replace with the 'g' flag applies each identically (RE2 reads the
+# \xNN class and literal-\n patterns the same way Java does)
+NORMALIZE_STEPS: list[tuple[str, str]] = [
+    (_CTRL_CLASS, ""),
+    (r"[ \t]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n\n\n+", "\n\n"),
+    (r"^[ \n]+|[ \n]+$", ""),
+]
+
+
+def sql_normalize_chain(col: str) -> str:
+    """DuckDB expression applying NORMALIZE_STEPS to ``col`` — the oracle
+    mirror of :func:`normalize_text`."""
+    expr = col
+    for pat, rep in NORMALIZE_STEPS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return expr
+
+
+def quality_features(text: Column, toks: Column | None = None) -> Column:
     """Struct of the standard quality-filter features (length, punctuation
-    ratio, stopword ratio, mean word length, uppercase ratio)."""
-    toks = F.split(F.trim(text), r"\s+")
+    ratio, stopword ratio, mean word length, uppercase ratio). ``toks``
+    optionally supplies the pre-split ``split(trim(text), '\\s+')`` array
+    (see :func:`lang_id` for why binding it matters on long docs)."""
+    if toks is None:
+        toks = F.split(F.trim(text), r"\s+")
     n_tok = F.greatest(F.size(toks), F.lit(1))
     n_char = F.greatest(F.length(text), F.lit(1))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", ""))
@@ -88,10 +147,10 @@ def quality_features(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, toks: Column | None = None) -> Column:
     """Scalar [0,1] quality score from the features — a monotone blend of
     'looks like prose' signals, for threshold filtering."""
-    f = quality_features(text)
+    f = quality_features(text, toks)
     length_ok = F.least(f["n_tokens"].cast("double") / 20.0, F.lit(1.0))
     punct_ok = F.lit(1.0) - F.least(f["punct_ratio"] * 5.0, F.lit(1.0))
     word_ok = F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), 1.0).otherwise(0.5)

@@ -49,9 +49,16 @@ def exact_dup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------- minhash --
 
-def shingles(text_col: str, n: int = 3) -> Column:
-    """Word n-gram shingles as an array column (empty if < n words)."""
-    w = F.split(F.col(text_col), " ")
+def shingles_of(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a token-array column (empty if < n words).
+
+    ``w`` MUST be a bound attribute column (``.select(split(...).alias(..))``
+    first), never an inline ``split(...)`` expression: higher-order lambdas
+    are interpreted, and a free expression inside the lambda body
+    (``slice(w, i, n)``) is re-evaluated PER ELEMENT — an inline split there
+    re-tokenizes the document once per shingle, O(doc²) (round 6; same
+    lesson as filters.annotate_filters). Measured at sf0.1: the shingle
+    explode drops 4.9s → 0.4s when the token array is bound."""
     return F.when(
         F.size(w) >= n,
         F.transform(
@@ -61,13 +68,27 @@ def shingles(text_col: str, n: int = 3) -> Column:
     ).otherwise(F.expr("array()"))
 
 
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array column (empty if < n words).
+
+    NOTE: inlines ``split(text)`` into the transform lambda — fine for
+    one-shot expressions OUTSIDE higher-order lambdas, but callers that
+    explode or post-process the shingle array should bind the token array
+    to a column and use :func:`shingles_of` (see its docstring)."""
+    return shingles_of(F.split(F.col(text_col), " "), n)
+
+
 def minhash_signature(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 8) -> DataFrame:
     """k md5-salted minhashes per doc. One explode + one groupBy; the
     shuffle rows are (doc_id, shingle) pairs — partial-agg combines the mins
-    map-side so the exchange carries one row per (doc, partition)."""
+    map-side so the exchange carries one row per (doc, partition). The token
+    array is bound to an attribute column before the shingle lambda
+    consumes it (shingles_of) — round 6, O(doc²) → O(doc)."""
     sh = df.select(
-        id_col, F.explode(shingles(text_col)).alias("sh")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        id_col, F.explode(shingles_of(F.col("_w"))).alias("sh")
     )
     return sh.groupBy(id_col).agg(
         *[
@@ -344,11 +365,18 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
     fanout is bounded by ``max_shingle_df`` on the benchmark side, and the
     benchmark set itself is small (eval suites are thousands of docs, not
     billions), so the joined volume is ~|corpus shingle hits|."""
+    # token arrays bound before the shingle lambda (shingles_of) — round 6
     csh = corpus.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of(F.col("_w"), n))).alias("sh"),
     )
     bsh = bench.select(
-        F.col(bench_id_col), F.explode(F.array_distinct(shingles(text_col, n))).alias("sh")
+        F.col(bench_id_col), F.split(F.col(text_col), " ").alias("_w")
+    ).select(
+        F.col(bench_id_col),
+        F.explode(F.array_distinct(shingles_of(F.col("_w"), n))).alias("sh"),
     )
     dfreq = bsh.groupBy("sh").agg(F.count("*").alias("_df"))
     bshc = bsh.join(dfreq.filter(F.col("_df") <= max_shingle_df), "sh").drop("_df")
@@ -567,14 +595,33 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
     No driver-side graph state: the driver holds only the changed-label
     COUNT per checked round.
+
+    Round 6: propagation iterates over the EDGE-VERTEX set only, not the
+    full doc table — a doc in no pair keeps label == id forever, so joining
+    all docs through every round is pure waste (each round was |docs| join
+    + checkpoint + count work; now it is |V(pairs)|, typically orders of
+    magnitude smaller after dedup candidate generation). Non-pair docs get
+    their identity label in ONE final left join. Results are identical by
+    construction; the convergence round count is unchanged (non-edge
+    vertices never changed a round's outcome).
     """
     sym = pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
     edges = sym.unionByName(
         pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v"))
     ).distinct().localCheckpoint(eager=False)
 
-    labels = df.select(F.col(id_col).alias("id"),
-                       F.col(id_col).alias("label"))
+    # the symmetrized edge list contains every pair member as a `u`
+    labels = edges.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("label"))
+
+    def _finish(labels: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(id_col))
+            .join(labels.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col,
+                    F.coalesce("label", F.col(id_col)).alias("cluster_id"))
+        )
+
     for it in range(max_iter):
         nmin = (
             edges.join(labels, edges["v"] == labels["id"])
@@ -595,8 +642,7 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             changed = new.filter(F.col("_chg")).limit(1).count()
             labels = new.drop("_chg")
             if changed == 0:
-                return labels.select(F.col("id").alias(id_col),
-                                     F.col("label").alias("cluster_id"))
+                return _finish(labels)
         else:
             labels = new.drop("_chg")
     raise RuntimeError(

@@ -42,13 +42,17 @@ def _eq(term: str):
 def _base(df: DataFrame, terms: list[str], id_col: str,
           text_col: str) -> DataFrame:
     """(id, _dl, _tf0..) — the narrow per-doc projection both the stats
-    pass and the scoring pass run on."""
-    toks = _toks(F.col(text_col))
+    pass and the scoring pass run on. The token array is bound to an
+    attribute column first (round 6): an inline split is otherwise
+    evaluated once per ``size``/``filter`` call — 1 + len(terms)
+    tokenizations per row instead of one."""
     return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), _toks(F.col(text_col)).alias("_t")
+    ).select(
         F.col(id_col),
-        F.size(toks).alias("_dl"),
+        F.size("_t").alias("_dl"),
         *[
-            F.size(F.filter(toks, _eq(t))).alias(f"_tf{i}")
+            F.size(F.filter(F.col("_t"), _eq(t))).alias(f"_tf{i}")
             for i, t in enumerate(terms)
         ],
     )

@@ -150,3 +150,21 @@ def test_shard_by_budget_matches_reference_and_partitioning(spark):
 def test_shard_by_budget_rejects_bad_budget(docs):
     with pytest.raises(ValueError):
         sample.shard_by_budget(docs, 0)
+    with pytest.raises(ValueError):
+        sample.shard_by_budget(docs, 100, partitions=70000)
+
+
+def test_shard_by_budget_bucket_count_invariant(spark):
+    """Round 6 internals (md5-prefix buckets replacing repartitionByRange):
+    the global prefix sum — and so every shard assignment — must be
+    IDENTICAL for any bucket count, including more buckets than rows and
+    the 65536 edge (one bucket per prefix value)."""
+    rows = [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 25)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _shard_reference(rows, budget=100)
+    for parts in (1, 64, 1000, 65536):
+        got = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+               for r in sample.shard_by_budget(
+                   df, 100, partitions=parts).collect()}
+        assert got == want, f"partitions={parts}"

@@ -178,18 +178,19 @@ def main() -> None:
                    "global sort instead of top-k"))
     p = plan_of(entrymod.q_doc_shards(spark, SF))
     out.append("## doc_shards\n```\n" + p + "\n```\n")
-    # data shuffles: ONE rangepartitioning of the persisted narrow
-    # projection + ONE hash(_pid) for the final window; the other two
-    # exchanges carry |partitions| rows (per-partition totals agg + the
-    # single-partition offsets window) — control plane, not data
-    checks.append(("shard: narrow projection range-shuffles ONCE",
-                   p.count("rangepartitioning") == 1,
+    # round 6: deterministic md5-prefix buckets replace repartitionByRange —
+    # no RangePartitioner sampling pass, no persist (ADVICE r5 leak). Data
+    # shuffles: ONE hash(_pid) for the final window; the other exchanges
+    # carry |buckets| rows (per-bucket totals agg + the single-partition
+    # offsets window) — control plane, not data
+    checks.append(("shard: no range-sampling pass (zero rangepartitioning)",
+                   p.count("rangepartitioning") == 0,
                    f"{p.count('rangepartitioning')} range exchanges"))
-    checks.append(("shard: both passes share the persisted frame",
-                   p.count("InMemoryTableScan") >= 2,
-                   "persisted narrow frame not reused"))
-    checks.append(("shard: <=4 exchanges (2 data + 2 control-plane)",
-                   shuffle_exchanges(p) <= 4,
+    checks.append(("shard: nothing persisted (no InMemoryTableScan)",
+                   "InMemoryTableScan" not in p,
+                   "unexpected cached frame"))
+    checks.append(("shard: <=3 exchanges (1 data + 2 control-plane)",
+                   shuffle_exchanges(p) <= 3,
                    f"{shuffle_exchanges(p)} exchanges"))
     checks.append(("shard offsets broadcast", "BroadcastHashJoin" in p,
                    "offsets join not broadcast"))

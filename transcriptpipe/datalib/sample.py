@@ -154,16 +154,23 @@ def shard_by_budget(df: DataFrame, budget_tokens: int,
 
     Scale: a global prefix sum CANNOT be one window over a global ORDER BY
     (Spark executes that in a single partition). This is the standard
-    two-pass formulation instead:
+    two-pass formulation instead, keyed by DETERMINISTIC contiguous
+    buckets of the order key (round 6 — previously ``repartitionByRange``,
+    whose RangePartitioner pays a full sampling pass over the projection
+    before the shuffle, plus a ``persist`` to stop the totals branch
+    repeating that shuffle, which leaked cache for the session (ADVICE
+    r5). The md5 order key is uniform by construction, so its first 4 hex
+    chars ARE a range partitioner: ``bucket = u16(prefix) * B / 65536`` is
+    monotone in the key — bucket b holds exactly a contiguous key range —
+    with no sampling, no persist, nothing to leak):
 
-    1. range-partition the NARROW (id, key, n_tokens) projection on the
-       order key (text never shuffles) and sort within partitions;
-    2. per-partition token totals (one tiny aggregate, |partitions| rows)
+    1. project NARROW (id, key, n_tokens, bucket) — text never shuffles;
+    2. per-bucket token totals (one tiny aggregate, |buckets| rows)
        → exclusive running offsets via a window over that tiny frame;
-    3. broadcast-join the offsets back and add the within-partition
-       exclusive cumsum — range partitions are contiguous ordered key
-       ranges with ascending partition ids, so offset + local prefix IS
-       the global prefix.
+    3. broadcast-join the offsets back and add the within-bucket
+       exclusive cumsum (one hash exchange on the bucket) — buckets are
+       contiguous ordered key ranges with ascending ids, so offset +
+       local prefix IS the global prefix.
 
     Returns (id_col, n_tokens, shard_id); join back on id to write
     ``df.write.partitionBy("shard_id")``. Null texts count 0 tokens."""
@@ -175,24 +182,18 @@ def shard_by_budget(df: DataFrame, budget_tokens: int,
         raise ValueError("budget_tokens must be positive")
     spark = df.sparkSession
     n_parts = partitions or spark.sparkContext.defaultParallelism * 2
+    if not (0 < n_parts <= 65536):
+        raise ValueError("partitions must be in (0, 65536]")
     key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    bucket = F.floor(
+        F.conv(F.substring("_k", 1, 4), 16, 10).cast("long") * n_parts / 65536
+    ).cast("int")
     t = df.select(
         F.col(id_col),
         key.alias("_k"),
         F.coalesce(token_count_ws(F.col(text_col)), F.lit(0))
         .cast("long").alias("n_tokens"),
-    )
-    t = (
-        t.repartitionByRange(n_parts, "_k", id_col)
-        .sortWithinPartitions("_k", id_col)
-        .withColumn("_pid", F.spark_partition_id())
-        # both passes (per-partition totals, final cumsum) consume this
-        # frame: persist so the range shuffle runs ONCE — without it the
-        # totals branch re-scans the source and repeats the exchange
-        # (static-plan reuse of identical stages is AQE-best-effort, not
-        # guaranteed; tools/explain_plans.py pins ONE rangepartitioning)
-        .persist()
-    )
+    ).withColumn("_pid", bucket)
     totals = t.groupBy("_pid").agg(F.sum("n_tokens").alias("_tot"))
     w_off = (
         Window.orderBy("_pid")

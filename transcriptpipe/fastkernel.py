@@ -266,30 +266,37 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                 v = v[1:-1]
                 if "\\" in v:
                     v = unescape_sub(r"\1", v)
-            pref = fpref_get(k)
-            if pref is None:
-                pref = _fpref(k)
+            # per-field XML fragments only when XML is selected (--lang
+            # json skips the escape + f-string work entirely — round 6)
             if k == "hex":
                 d = decode_hex(v)
                 if d is None:
                     # undecodable "hex" latches INVALID_HEX (data voided), but
                     # escape defensively — the raw token can be any \S+
                     fields[k] = [v]
-                    frag[k] = f"{pref}{v if xsrch(v) is None else xesc(v)}</v></f>"
                     jf[k] = f'"{k}":[{jstr(v)}]'
                     hex_bad = True
+                    if want_xml:
+                        pref = fpref_get(k) or _fpref(k)
+                        frag[k] = (f"{pref}{v if xsrch(v) is None else xesc(v)}"
+                                   "</v></f>")
                 else:
                     fields[k] = [d, v]
-                    frag[k] = (
-                        f"{pref}{d if xsrch(d) is None else xesc(d)}"
-                        f"</v><v>{v}</v></f>"
-                    )
                     jf[k] = f'"{k}":[{jstr(d)},{jstr(v)}]'
                     hex_bad = False
+                    if want_xml:
+                        pref = fpref_get(k) or _fpref(k)
+                        frag[k] = (
+                            f"{pref}{d if xsrch(d) is None else xesc(d)}"
+                            f"</v><v>{v}</v></f>"
+                        )
             else:
                 fields[k] = [v]
-                frag[k] = f"{pref}{v if xsrch(v) is None else xesc(v)}</v></f>"
                 jf[k] = f'"{k}":[{jstr(v)}]'
+                if want_xml:
+                    pref = fpref_get(k) or _fpref(k)
+                    frag[k] = (f"{pref}{v if xsrch(v) is None else xesc(v)}"
+                               "</v></f>")
 
         # row errors (F5/F6/F7 add-time errors, ref rc.h:24-48)
         if pairs:
@@ -402,16 +409,18 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
         if len(sys_insts) == 1:
             f0, x0, j0 = sys_insts[0]
             data["system"] = f0
-            xp.append(f"<system>{''.join(x0.values())}</system>")
+            if want_xml:
+                xp.append(f"<system>{''.join(x0.values())}</system>")
             jp.append('"system":{' + ",".join(j0.values()) + "}")
         for role in _REP_ROLES:
             lst = rep_data[role]
             if lst:
                 data[role] = lst
-                op, cl = _REP_TAGS[role]
-                xp.extend(
-                    [f"{op}{''.join(x.values())}{cl}" for x in rep_xml[role]]
-                )
+                if want_xml:
+                    op, cl = _REP_TAGS[role]
+                    xp.extend(
+                        [f"{op}{''.join(x.values())}{cl}" for x in rep_xml[role]]
+                    )
                 jp.append(
                     f'"{role}":[' + ",".join(
                         "{" + ",".join(j.values()) + "}" for j in rep_json[role]
@@ -419,10 +428,11 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
                 )
         if results:
             data[_SLOT_ROLE] = [r[1] for r in results]
-            xp.extend(
-                [f"{_SLOT_OPEN}{''.join(r[2].values())}{_SLOT_CLOSE}"
-                 for r in results]
-            )
+            if want_xml:
+                xp.extend(
+                    [f"{_SLOT_OPEN}{''.join(r[2].values())}{_SLOT_CLOSE}"
+                     for r in results]
+                )
             jp.append(
                 f'"{_SLOT_ROLE}":[' + ",".join(
                     "{" + ",".join(r[3].values()) + "}" for r in results
@@ -430,30 +440,33 @@ def render_conv(conv_id: str, rows, min_ts, turn_capped: bool,
             )
         if args is not None:  # args == [] still renders (oracle keeps non-None)
             data["args"] = args
-            xp.append(
-                "<args>"
-                + "".join(
-                    [f"<a>{a if xsrch(a) is None else xesc(a)}</a>" for a in args]
+            if want_xml:
+                xp.append(
+                    "<args>"
+                    + "".join(
+                        [f"<a>{a if xsrch(a) is None else xesc(a)}</a>" for a in args]
+                    )
+                    + "</args>"
                 )
-                + "</args>"
-            )
             jp.append('"args":[' + ",".join(jstr(a) for a in args) + "]")
         if tools:
             data["tools"] = tools
-            xp.append(
-                "<tools>"
-                + "".join(
-                    [f"<t>{t if xsrch(t) is None else xesc(t)}</t>" for t in tools]
+            if want_xml:
+                xp.append(
+                    "<tools>"
+                    + "".join(
+                        [f"<t>{t if xsrch(t) is None else xesc(t)}</t>" for t in tools]
+                    )
+                    + "</tools>"
                 )
-                + "</tools>"
-            )
             jp.append('"tools":[' + ",".join(jstr(t) for t in tools) + "]")
         for key, fields, frag, jfd in catch_all:
             if key not in data:
                 data[key] = fields
-                xp.append(f"<{key}>{''.join(frag.values())}</{key}>")
+                if want_xml:
+                    xp.append(f"<{key}>{''.join(frag.values())}</{key}>")
                 jp.append(jstr(key) + ":{" + ",".join(jfd.values()) + "}")
-        data_xml = "".join(xp)
+        data_xml = "".join(xp) if want_xml else None
         data_json = '"data":{' + ",".join(jp) + "}"
 
     norm = None

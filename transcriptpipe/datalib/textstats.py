@@ -37,20 +37,34 @@ def token_count_bpe_ish(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), 0))
 
 
+def _let(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` once and hand
+    the body an O(1) lambda-variable reference (single-element array +
+    transform). Use when an expensive expression (a split, an array build)
+    would otherwise be inlined into several consumers — each consumer
+    re-evaluates a free expression, and a higher-order lambda re-evaluates
+    it PER ELEMENT (round 6; see shingles_of / repetition_features)."""
+    return F.transform(F.array(value), body)[0]
+
+
 def lang_scores(text: Column) -> Column:
-    """Map<lang, score>: fraction of tokens hitting each language profile."""
-    toks = F.split(F.lower(text), r"\s+")
-    n = F.greatest(F.size(toks), F.lit(1))
-    entries = [
-        F.struct(
-            F.lit(lang).alias("lang"),
-            (
-                F.size(F.filter(toks, lambda t: t.isin(prof))).cast("double") / n
-            ).alias("score"),
-        )
-        for lang, prof in LANG_PROFILES.items()
-    ]
-    return F.map_from_entries(F.array(*entries))
+    """Map<lang, score>: fraction of tokens hitting each language profile.
+    The token array is let-bound so the split runs once, not once per
+    profile (round 6)."""
+    def score(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        entries = [
+            F.struct(
+                F.lit(lang).alias("lang"),
+                (
+                    F.size(F.filter(toks, lambda t: t.isin(prof))).cast("double") / n
+                ).alias("score"),
+            )
+            for lang, prof in LANG_PROFILES.items()
+        ]
+        return F.map_from_entries(F.array(*entries))
+
+    return _let(F.split(F.lower(text), r"\s+"), score)
 
 
 def lang_id(text: Column, toks: Column | None = None) -> Column:
@@ -59,19 +73,24 @@ def lang_id(text: Column, toks: Column | None = None) -> Column:
     Pass ``toks`` (the pre-split LOWERCASED token array, ideally a bound
     attribute column) when scoring long documents: higher-order functions
     are not whole-stage-codegen'd, so an inline split expression inside
-    the filter lambda re-tokenizes the text per profile instead of once."""
+    the filter lambda re-tokenizes the text per profile instead of once.
+    When ``toks`` is omitted the split is let-bound internally (round 6),
+    so the un-bound call sites also tokenize once per row."""
+    def best_of(toks: Column) -> Column:
+        n = F.greatest(F.size(toks), F.lit(1))
+        scored = F.array(*[
+            F.struct(
+                (F.size(F.filter(toks, lambda t: t.isin(prof))).cast("double") / n).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, prof in LANG_PROFILES.items()
+        ])
+        best = F.array_max(scored)
+        return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
     if toks is None:
-        toks = F.split(F.lower(text), r"\s+")
-    n = F.greatest(F.size(toks), F.lit(1))
-    scored = F.array(*[
-        F.struct(
-            (F.size(F.filter(toks, lambda t: t.isin(prof))).cast("double") / n).alias("score"),
-            F.lit(lang).alias("lang"),
-        )
-        for lang, prof in LANG_PROFILES.items()
-    ])
-    best = F.array_max(scored)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+        return _let(F.split(F.lower(text), r"\s+"), best_of)
+    return best_of(toks)
 
 
 # control characters to strip during normalization: C0 except \t \n, plus
@@ -128,23 +147,27 @@ def quality_features(text: Column, toks: Column | None = None) -> Column:
     """Struct of the standard quality-filter features (length, punctuation
     ratio, stopword ratio, mean word length, uppercase ratio). ``toks``
     optionally supplies the pre-split ``split(trim(text), '\\s+')`` array
-    (see :func:`lang_id` for why binding it matters on long docs)."""
+    (see :func:`lang_id` for why binding it matters on long docs); when
+    omitted the split is let-bound internally (round 6)."""
+    def feats(toks: Column) -> Column:
+        n_tok = F.greatest(F.size(toks), F.lit(1))
+        n_char = F.greatest(F.length(text), F.lit(1))
+        punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", ""))
+        upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+        stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN)))
+        return F.struct(
+            F.length(text).alias("n_chars"),
+            F.size(toks).alias("n_tokens"),
+            F.round(punct.cast("double") / n_char, 4).alias("punct_ratio"),
+            F.round(upper.cast("double") / n_char, 4).alias("upper_ratio"),
+            F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+            F.round(F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_tok, 2)
+            .alias("mean_word_len"),
+        )
+
     if toks is None:
-        toks = F.split(F.trim(text), r"\s+")
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    n_char = F.greatest(F.length(text), F.lit(1))
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", ""))
-    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
-    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS_EN)))
-    return F.struct(
-        F.length(text).alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.round(punct.cast("double") / n_char, 4).alias("punct_ratio"),
-        F.round(upper.cast("double") / n_char, 4).alias("upper_ratio"),
-        F.round(stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
-        F.round(F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_tok, 2)
-        .alias("mean_word_len"),
-    )
+        return _let(F.split(F.trim(text), r"\s+"), feats)
+    return feats(toks)
 
 
 def quality_score(text: Column, toks: Column | None = None) -> Column:
@@ -229,9 +252,7 @@ def repetition_features(text: Column, ns: tuple[int, ...] = (2, 3)) -> Column:
     (VERDICT r5 "what's wrong" #3). Values are bit-identical (pinned by
     test_textstats_rep)."""
     toks_expr = F.split(F.trim(text), r"\s+")
-
-    def let(value: Column, body) -> Column:
-        return F.transform(F.array(value), body)[0]
+    let = _let
 
     def counters(w: Column, n: int) -> Column:
         # bind g once; array_distinct(g) is evaluated per use site (2x,
